@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Nonlinear elliptic driver: -Delta u + alpha u^m = f on [0,1]^2.
+
+Capability match for upstream ``main_NonLinElliptic2d.py`` (manufactured truth
+``u = sin(pi x1) sin(pi x2) + 2 sin(4 pi x1) sin(4 pi x2)``, f derived by AD).
+
+  python examples/elliptic.py --kernel gaussian --kernel_parameter 0.2 \
+      --nugget 1e-13 --N_domain 900 --N_boundary 124 --GNsteps 4
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from nonlinpdes_gpsolver_tpu.utils.config import (
+    SolverConfig, add_config_args, apply_runtime, build_kernel, config_from_args,
+)
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    defaults = SolverConfig(nugget=1e-13, N_domain=900, N_boundary=124, GNsteps=4)
+    add_config_args(parser, defaults)
+    parser.add_argument("--alpha", type=float, default=1.0)
+    parser.add_argument("--m", type=int, default=3)
+    args = parser.parse_args()
+    cfg = config_from_args(args)
+    apply_runtime(cfg)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import nonlinpdes_gpsolver_tpu as gpt
+
+    def u_truth(x):
+        return jnp.sin(jnp.pi * x[0]) * jnp.sin(jnp.pi * x[1]) + 2 * jnp.sin(
+            4 * jnp.pi * x[0]
+        ) * jnp.sin(4 * jnp.pi * x[1])
+
+    def rhs_f(x):
+        return -jnp.trace(jax.hessian(u_truth)(x)) + args.alpha * u_truth(x) ** args.m
+
+    key = jax.random.PRNGKey(cfg.seed)
+    if cfg.sampled_type == "grid":
+        Xd, Xb = gpt.utils.sample_grid(cfg.N_domain, cfg.N_boundary)
+    else:
+        Xd, Xb = gpt.utils.sample_random(key, cfg.N_domain, cfg.N_boundary)
+    kernel = build_kernel(cfg)
+
+    if cfg.method == "relaxation":
+        prob = gpt.models.nonlinear_elliptic_relaxed(
+            kernel, Xd, Xb, rhs_f, u_truth, alpha=args.alpha, m=args.m,
+            pen_lambda=cfg.pen_lambda, init=cfg.initial, seed=cfg.seed,
+        )
+    else:
+        prob = gpt.models.nonlinear_elliptic(
+            kernel, Xd, Xb, rhs_f, u_truth, alpha=args.alpha, m=args.m,
+            init=cfg.initial, seed=cfg.seed,
+        )
+    solver = gpt.GPSolver(prob, nugget=cfg.nugget, nugget_type=cfg.nugget_type)
+    res = solver.solve(max_iter=cfg.GNsteps, step_size=cfg.step_size)
+    print(f"[GN] losses: {res.losses}")
+
+    # collocation error uses the u-component of the latent
+    z_u = res.z if cfg.method != "relaxation" else res.z[cfg.N_domain:]
+    errc = gpt.GPSolver.errors(z_u, jax.vmap(u_truth)(Xd))
+    print(f"[Collocation error] max {errc.max:.4e}  L2 {errc.l2:.4e}")
+
+    Xt = gpt.utils.test_grid(60, 60)
+    pred = res.posterior.extend(Xt)
+    errt = gpt.GPSolver.errors(pred, jax.vmap(u_truth)(Xt))
+    print(f"[Test error] max {errt.max:.4e}  L2 {errt.l2:.4e}")
+    print(f"[Timers] {res.timers}")
+
+    if cfg.show_figure:
+        from nonlinpdes_gpsolver_tpu.utils.plotting import contour_error
+
+        contour_error(Xt, pred, jax.vmap(u_truth)(Xt), title="elliptic test error")
+
+
+if __name__ == "__main__":
+    main()

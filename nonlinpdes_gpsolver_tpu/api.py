@@ -1,0 +1,110 @@
+"""User-facing solver facade.
+
+Plays the role of upstream ``solver_GP`` (``src/solver.py:41-206``) minus its
+quirks: no import-time matplotlib/LaTeX rc mutation (``src/solver.py:17-39``
+upstream), no string dispatch (problems are :class:`CollocationProblem`
+values built by the ``models`` constructors), metrics returned as data rather
+than printed device scalars, and posterior representer weights cached.
+
+Typical use::
+
+    from nonlinpdes_gpsolver_tpu import GPSolver, models, ops, utils
+
+    prob = models.nonlinear_elliptic(ops.SquaredExponential.gaussian(0.2),
+                                     X_domain, X_boundary, rhs_f, bdy_g)
+    solver = GPSolver(prob, nugget=1e-13)
+    result = solver.solve(max_iter=4)
+    u_test = result.posterior.extend(X_test)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .models.spec import CollocationProblem
+from .solvers.gn import FactoredProblem, GNState, factorize, gn_solve
+from .solvers.posterior import Posterior
+from .utils.metrics import ErrorStats, PhaseTimers, error_stats
+
+log = logging.getLogger("nonlinpdes_gpsolver_tpu")
+
+
+@dataclasses.dataclass
+class SolveResult:
+    state: GNState
+    posterior: Posterior
+    timers: dict
+
+    @property
+    def z(self) -> jnp.ndarray:
+        return self.state.z
+
+    @property
+    def losses(self) -> np.ndarray:
+        return np.asarray(self.state.losses)
+
+
+class GPSolver:
+    """Factorizes once, then supports repeated solves / posterior queries."""
+
+    def __init__(
+        self,
+        problem: CollocationProblem,
+        nugget: float = 1e-10,
+        nugget_type: str = "adaptive",
+        dtype=None,
+    ):
+        self.problem = problem
+        self.timers = PhaseTimers()
+        with self.timers.phase("factorize"):
+            self.fp: FactoredProblem = factorize(
+                problem, nugget=nugget, nugget_type=nugget_type, dtype=dtype
+            )
+        for name, scale in self.fp.nugget_scales.items():
+            if scale != 1.0:
+                log.warning(
+                    "block %r: nugget escalated x%g to keep Cholesky finite",
+                    name,
+                    scale,
+                )
+
+    def solve(
+        self,
+        max_iter: int = 8,
+        step_size: float = 1.0,
+        z0: Optional[jnp.ndarray] = None,
+        hessian_jitter: float = 0.0,
+    ) -> SolveResult:
+        with self.timers.phase("gauss_newton"):
+            state = gn_solve(
+                self.fp,
+                z0=z0,
+                max_iter=max_iter,
+                step_size=step_size,
+                hessian_jitter=hessian_jitter,
+            )
+            state.z.block_until_ready()
+        if not bool(state.converged_finite):
+            log.warning(
+                "problem %r: at least one GN step was rejected as non-finite "
+                "(nugget may be too small)",
+                self.problem.name,
+            )
+        log.info(
+            "problem %r: GN losses %s",
+            self.problem.name,
+            np.asarray(state.losses),
+        )
+        with self.timers.phase("posterior_weights"):
+            post = Posterior(self.fp, state.z)
+        return SolveResult(state=state, posterior=post, timers=self.timers.as_dict())
+
+    # -- convenience metrics (reference: src/solver.py:169-194 upstream) ----
+    @staticmethod
+    def errors(pred, truth) -> ErrorStats:
+        return error_stats(pred, truth)

@@ -1,0 +1,129 @@
+"""Nonlinear elliptic equation ``-Delta u + alpha * u^m = f`` (Dirichlet BC).
+
+Capability match for upstream ``Nonlinear_elliptic2d`` (``src/PDEs.py:18-208``):
+
+* observed functionals: ``[Delta u @ interior, u @ interior, u @ boundary]``;
+* latent ``z`` = interior nodal values of ``u`` (``N_domain``); the Laplacian
+  block is eliminated through the PDE, ``Delta u = alpha u^m - f``;
+* "relaxed" (penalty) variant keeps both ``(v, w) ~ (Delta u, u)`` latent and
+  penalizes the PDE residual with weight ``1/pen_lambda`` instead of
+  eliminating it (upstream ``src/PDEs.py:137-201``).
+
+Unlike the reference, both variants are pure data (:class:`CollocationProblem`)
+consumed by the generic whitened-GN engine - no hand-written linearization.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.assembly import Observable
+from ..ops.kernels import SquaredExponential
+from ..ops.operators import identity, laplacian
+from .spec import CollocationProblem, GPBlock, Misfit
+
+
+def _eval_on(fn: Optional[Callable], X: jnp.ndarray) -> jnp.ndarray:
+    if fn is None:
+        return jnp.zeros(X.shape[0], dtype=X.dtype)
+    return jax.vmap(fn)(X)
+
+
+def nonlinear_elliptic(
+    kernel: SquaredExponential,
+    X_domain: jnp.ndarray,
+    X_boundary: jnp.ndarray,
+    rhs_f: Callable | jnp.ndarray | None,
+    bdy_g: Callable | jnp.ndarray | None,
+    alpha: float = 1.0,
+    m: int = 3,
+    init: str = "random",
+    seed: int = 0,
+) -> CollocationProblem:
+    """Elimination form: latent z = u at interior points."""
+    X_domain = jnp.asarray(X_domain)
+    X_boundary = jnp.asarray(X_boundary)
+    N_d = X_domain.shape[0]
+    f_vals = rhs_f if isinstance(rhs_f, jnp.ndarray) else _eval_on(rhs_f, X_domain)
+    g_vals = bdy_g if isinstance(bdy_g, jnp.ndarray) else _eval_on(bdy_g, X_boundary)
+    data = {"f": f_vals, "g": g_vals}
+
+    def residual(z, data):
+        # [Delta u; u_int; u_bd] with Delta u eliminated via the PDE
+        return jnp.concatenate([alpha * z**m - data["f"], z, data["g"]])
+
+    observables = (
+        Observable("domain", laplacian()),
+        Observable("domain", identity()),
+        Observable("boundary", identity()),
+    )
+
+    def latent_init():
+        if init == "zero":
+            return jnp.zeros(N_d)
+        return jax.random.normal(jax.random.PRNGKey(seed), (N_d,))
+
+    return CollocationProblem(
+        name="nonlinear_elliptic",
+        blocks=(GPBlock("u", kernel, observables, residual),),
+        points={"domain": X_domain, "boundary": X_boundary},
+        data=data,
+        latent_dim=N_d,
+        latent_init=latent_init,
+    )
+
+
+def nonlinear_elliptic_relaxed(
+    kernel: SquaredExponential,
+    X_domain: jnp.ndarray,
+    X_boundary: jnp.ndarray,
+    rhs_f: Callable | jnp.ndarray | None,
+    bdy_g: Callable | jnp.ndarray | None,
+    alpha: float = 1.0,
+    m: int = 3,
+    pen_lambda: float = 1e-10,
+    init: str = "random",
+    seed: int = 0,
+) -> CollocationProblem:
+    """Penalty form: latent z = (v, w) ~ (Delta u, u) at interior points.
+
+    Loss: ``||L^{-1}[v; w; g]||^2 + (1/pen_lambda)||-v + alpha w^m - f||^2``
+    (upstream ``loss_relaxed``, ``src/PDEs.py:138-147``).
+    """
+    X_domain = jnp.asarray(X_domain)
+    X_boundary = jnp.asarray(X_boundary)
+    N_d = X_domain.shape[0]
+    f_vals = rhs_f if isinstance(rhs_f, jnp.ndarray) else _eval_on(rhs_f, X_domain)
+    g_vals = bdy_g if isinstance(bdy_g, jnp.ndarray) else _eval_on(bdy_g, X_boundary)
+    data = {"f": f_vals, "g": g_vals}
+
+    def residual(z, data):
+        return jnp.concatenate([z, data["g"]])  # [v; w; g] - linear in z
+
+    def pde_penalty(z, data):
+        v, w = z[:N_d], z[N_d:]
+        return -v + alpha * w**m - data["f"]
+
+    observables = (
+        Observable("domain", laplacian()),
+        Observable("domain", identity()),
+        Observable("boundary", identity()),
+    )
+
+    def latent_init():
+        if init == "zero":
+            return jnp.zeros(2 * N_d)
+        return jax.random.normal(jax.random.PRNGKey(seed), (2 * N_d,))
+
+    return CollocationProblem(
+        name="nonlinear_elliptic_relaxed",
+        blocks=(GPBlock("u", kernel, observables, residual),),
+        points={"domain": X_domain, "boundary": X_boundary},
+        data=data,
+        latent_dim=2 * N_d,
+        misfits=(Misfit("pde", pde_penalty, 1.0 / pen_lambda),),
+        latent_init=latent_init,
+    )

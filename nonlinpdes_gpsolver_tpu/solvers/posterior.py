@@ -1,0 +1,58 @@
+"""GP posterior-mean extension with cached representer weights.
+
+The reference recomputes the representer weights ``Theta^{-1} F(z*)`` (two
+triangular solves against the full training factor) on *every* call to
+``extend_sol`` (``src/PDEs.py:203-208`` upstream, see SURVEY.md section 3.3) -
+the exact quantity a serving path should cache. Here the weights are computed
+once per block at construction; each posterior evaluation is then a single
+rectangular cross-Gram assembly plus one matvec (MXU-friendly, batched over
+arbitrarily many test points).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+
+from ..models.spec import CollocationProblem
+from ..ops.assembly import cross_gram
+from ..ops.linalg import kernel_solve
+from ..ops.operators import LinearOp, identity
+from .gn import FactoredProblem
+
+
+class Posterior:
+    """Posterior means of every GP block at the Gauss-Newton solution."""
+
+    def __init__(self, fp: FactoredProblem, z_star: jnp.ndarray):
+        self.fp = fp
+        self.z_star = jnp.asarray(z_star)
+        p = fp.problem
+        self._weights: Dict[str, jnp.ndarray] = {}
+        for b in p.blocks:
+            F = b.residual(self.z_star, p.data)
+            self._weights[b.name] = kernel_solve(fp.factors[b.name], F)
+
+    def weights(self, block: str) -> jnp.ndarray:
+        return self._weights[block]
+
+    def extend(
+        self,
+        X_test: jnp.ndarray,
+        block: str | None = None,
+        op: LinearOp | None = None,
+    ) -> jnp.ndarray:
+        """Posterior mean of ``op`` applied to the block's GP at ``X_test``.
+
+        ``op`` defaults to point evaluation (the reference only ever extends
+        function values; derivative fields come free here).
+        """
+        p = self.fp.problem
+        b = p.block(block) if block is not None else p.blocks[0]
+        if op is None:
+            op = identity(b.kernel.dim)
+        ct = cross_gram(
+            b.kernel, op, jnp.asarray(X_test), b.observables, p.points
+        )
+        return ct @ self._weights[b.name]

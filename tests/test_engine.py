@@ -1,0 +1,193 @@
+"""Unit tests for the generic engine: GN driver, posterior, nugget, sampling,
+classical truth solvers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import nonlinpdes_gpsolver_tpu as gpt
+from nonlinpdes_gpsolver_tpu.models.spec import CollocationProblem, GPBlock, Misfit
+from nonlinpdes_gpsolver_tpu.ops import Observable, SquaredExponential, identity, laplacian, d
+from nonlinpdes_gpsolver_tpu.solvers import factorize, gn_solve, Posterior
+from nonlinpdes_gpsolver_tpu.utils import sample_random, sample_grid
+from nonlinpdes_gpsolver_tpu.utils.classical import (
+    burgers_cole_hopf_truth,
+    darcy_fd_solve,
+    eikonal_cole_hopf_solve,
+)
+
+
+# ---------------------------------------------------------------------------
+# Gauss-Newton core
+# ---------------------------------------------------------------------------
+def _toy_problem(residual, latent_dim, misfits=()):
+    rng = np.random.default_rng(0)
+    Xd = jnp.asarray(rng.uniform(0, 1, (30, 2)))
+    Xb = jnp.asarray(rng.uniform(0, 1, (10, 2)))
+    k = SquaredExponential.gaussian(0.5)
+    obs = (
+        Observable("domain", identity()),
+        Observable("boundary", identity()),
+    )
+    return CollocationProblem(
+        name="toy",
+        blocks=(GPBlock("u", k, obs, residual),),
+        points={"domain": Xd, "boundary": Xb},
+        data={"g": jnp.zeros(10)},
+        latent_dim=latent_dim,
+        misfits=misfits,
+    )
+
+
+def test_gn_linear_problem_one_step():
+    """For a residual affine in z, GN must converge in a single step."""
+    target = jnp.linspace(0.0, 1.0, 30)
+
+    def residual(z, data):
+        return jnp.concatenate([z - target, data["g"]])
+
+    prob = _toy_problem(residual, 30)
+    fp = factorize(prob, nugget=1e-8)
+    st = gn_solve(fp, z0=jnp.ones(30) * 5.0, max_iter=2)
+    np.testing.assert_allclose(np.asarray(st.z), np.asarray(target), atol=1e-8)
+    assert bool(st.converged_finite)
+    assert st.losses[0] <= 1e-10
+
+
+def test_gn_rejects_nonfinite_step():
+    """A residual engineered to blow up must freeze, not poison, the iterate."""
+
+    def residual(z, data):
+        return jnp.concatenate([jnp.log(z), data["g"]])  # NaN for z <= 0
+
+    prob = _toy_problem(residual, 30)
+    fp = factorize(prob, nugget=1e-8)
+    st = gn_solve(fp, z0=jnp.full(30, 1e-8), max_iter=3)
+    assert bool(jnp.all(jnp.isfinite(st.z)))
+
+
+def test_misfit_term_pulls_solution():
+    """A heavy data misfit must dominate the GP prior term."""
+    obs_target = jnp.full(5, 2.0)
+
+    def residual(z, data):
+        return jnp.concatenate([z, data["g"]])
+
+    mis = Misfit("data", lambda z, data: z[:5] - obs_target, weight=1e8)
+    prob = _toy_problem(residual, 30, misfits=(mis,))
+    fp = factorize(prob, nugget=1e-8)
+    st = gn_solve(fp, z0=jnp.zeros(30), max_iter=3)
+    np.testing.assert_allclose(np.asarray(st.z[:5]), 2.0, atol=1e-2)
+
+
+# ---------------------------------------------------------------------------
+# Posterior
+# ---------------------------------------------------------------------------
+def test_posterior_interpolates_at_training_points():
+    """With tiny nugget, the posterior mean reproduces training values."""
+    rng = np.random.default_rng(1)
+    Xd = jnp.asarray(rng.uniform(0, 1, (40, 2)))
+    Xb = jnp.asarray(rng.uniform(0, 1, (12, 2)))
+    k = SquaredExponential.gaussian(0.5)
+    f = lambda x: jnp.sin(2 * x[0]) * jnp.cos(x[1])
+    vals_d = jax.vmap(f)(Xd)
+    vals_b = jax.vmap(f)(Xb)
+
+    def residual(z, data):
+        return jnp.concatenate([z, data["g"]])
+
+    prob = CollocationProblem(
+        name="interp",
+        blocks=(
+            GPBlock(
+                "u",
+                k,
+                (Observable("domain", identity()), Observable("boundary", identity())),
+                residual,
+            ),
+        ),
+        points={"domain": Xd, "boundary": Xb},
+        data={"g": vals_b},
+        latent_dim=40,
+    )
+    fp = factorize(prob, nugget=1e-12)
+    post = Posterior(fp, vals_d)
+    # at the training points the posterior must reproduce the data
+    np.testing.assert_allclose(
+        np.asarray(post.extend(Xd)), np.asarray(vals_d), atol=1e-6
+    )
+    # derivative field extension matches AD of a fine interpolant loosely:
+    # just check it runs and has the right shape + finite values
+    dx = post.extend(Xd, op=d(0))
+    assert dx.shape == (40,) and bool(jnp.all(jnp.isfinite(dx)))
+
+
+# ---------------------------------------------------------------------------
+# Sampling
+# ---------------------------------------------------------------------------
+def test_sample_random_counts_and_faces():
+    key = jax.random.PRNGKey(0)
+    Xd, Xb = sample_random(key, 100, 37)  # 37 not divisible by 4
+    assert Xd.shape == (100, 2) and Xb.shape == (37, 2)  # no silent flooring
+    on_face = (
+        (Xb[:, 0] == 0.0) | (Xb[:, 0] == 1.0) | (Xb[:, 1] == 0.0) | (Xb[:, 1] == 1.0)
+    )
+    assert bool(jnp.all(on_face))
+    assert bool(jnp.all((Xd > 0) & (Xd < 1)))
+
+
+def test_sample_random_time_dependent_faces():
+    key = jax.random.PRNGKey(1)
+    Xd, Xb = sample_random(
+        key, 50, 30, domain=((0.0, 1.0), (-1.0, 1.0)), time_dependent=True
+    )
+    assert Xb.shape == (30, 2)
+    on_face = (Xb[:, 0] == 0.0) | (Xb[:, 1] == -1.0) | (Xb[:, 1] == 1.0)
+    assert bool(jnp.all(on_face))
+    # no final-time face
+    assert not bool(jnp.any(Xb[:, 0] == 1.0))
+
+
+def test_sample_grid_boundary_ring():
+    Xd, Xb = sample_grid(100, 40)
+    assert bool(jnp.all((Xd > 0) & (Xd < 1)))
+    on_face = (
+        (Xb[:, 0] == 0.0) | (Xb[:, 0] == 1.0) | (Xb[:, 1] == 0.0) | (Xb[:, 1] == 1.0)
+    )
+    assert bool(jnp.all(on_face))
+
+
+# ---------------------------------------------------------------------------
+# Classical truth solvers
+# ---------------------------------------------------------------------------
+def test_darcy_fd_matches_poisson_manufactured():
+    """a == 1 reduces to -Delta u = f; verify against a manufactured truth."""
+    u_exact = lambda x1, x2: np.sin(np.pi * x1) * np.sin(np.pi * x2)
+    f = lambda x1, x2: 2 * np.pi**2 * np.sin(np.pi * x1) * np.sin(np.pi * x2)
+    xs, ys, U = darcy_fd_solve(60, lambda x1, x2: np.ones_like(x1), f)
+    X1, X2 = np.meshgrid(xs, ys)
+    err = np.abs(U - u_exact(X1, X2))
+    assert err.max() < 5e-4  # O(h^2) at h=1/61
+
+
+def test_eikonal_cole_hopf_properties():
+    X1, X2, U = eikonal_cole_hopf_solve(50, 0.1)
+    # positive inside, small near the boundary, max near the center
+    assert U.min() > 0
+    center = U[24:26, 24:26].mean()
+    edge = U[0, :].max()
+    assert center > edge
+    # regularized distance: center value below the true distance 0.5,
+    # same order of magnitude
+    assert 0.2 < center < 0.5
+
+
+def test_burgers_truth_initial_condition():
+    u = burgers_cole_hopf_truth(0.02)
+    x = np.linspace(-1, 1, 11)
+    np.testing.assert_allclose(u(0.0, x), -np.sin(np.pi * x), atol=1e-10)
+    # viscous solution stays bounded by 1
+    t = np.linspace(0, 1, 7)
+    T, X = np.meshgrid(t, x)
+    assert np.abs(u(T, X)).max() <= 1.0 + 1e-8
