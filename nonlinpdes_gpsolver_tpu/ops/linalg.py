@@ -59,6 +59,18 @@ def whiten(L: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     return solve_triangular(L, v, lower=True)
 
 
+def tri_inverse(L: jnp.ndarray) -> jnp.ndarray:
+    """Explicit ``L^{-1}`` (lower triangular).
+
+    On TPU, repeated triangular solves against many right-hand sides map
+    poorly onto the MXU (sequential substitution), while a one-time inverse
+    turns every subsequent whitening into a plain matmul. Used by the
+    ``solve_mode='inverse'`` path of :func:`..solvers.gn.factorize`.
+    """
+    eye = jnp.eye(L.shape[0], dtype=L.dtype)
+    return solve_triangular(L, eye, lower=True)
+
+
 def kernel_solve(L: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """``Theta^{-1} v = L^{-T} L^{-1} v`` via two triangular solves."""
     return solve_triangular(L, solve_triangular(L, v, lower=True), lower=True, trans=1)

@@ -1,0 +1,62 @@
+"""Device-mesh construction.
+
+The reference is strictly single-process / single-device (SURVEY.md section 2,
+parallelism inventory: no collectives of any kind). This module is the entry
+point of the TPU build's scale-out story: a 1-D (or 2-D) ``jax.sharding.Mesh``
+over ICI (and DCN across hosts via ``jax.distributed.initialize``), consumed
+by the sharded Gram assembler and the distributed dense factorizations.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def device_count() -> int:
+    return len(jax.devices())
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axis_names: Tuple[str, ...] = ("p",),
+    shape: Optional[Sequence[int]] = None,
+) -> Mesh:
+    """Build a mesh over the first ``n_devices`` devices.
+
+    1-D by default (axis ``'p'`` - the block-cyclic panel axis of the dense
+    factorizations). Pass ``shape`` + two axis names for a 2-D mesh.
+    """
+    devs = jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    devs = devs[:n_devices]
+    if shape is None:
+        shape = (n_devices,)
+    if int(np.prod(shape)) != n_devices:
+        raise ValueError(f"mesh shape {shape} != {n_devices} devices")
+    if len(shape) != len(axis_names):
+        raise ValueError("shape and axis_names length mismatch")
+    return Mesh(np.asarray(devs).reshape(shape), axis_names)
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bring-up (no-op when single-process).
+
+    On a real pod slice each host calls this before building the global mesh;
+    under the single-chip tunnel or CPU testing it is skipped silently.
+    """
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )

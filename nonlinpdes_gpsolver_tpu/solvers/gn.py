@@ -7,8 +7,7 @@ algorithm:
 
 * stack all whitened block residuals ``L_b^{-1} F_b(z)`` and weighted misfits
   into one residual vector ``r(z)``;
-* Jacobian ``J = dr/dz`` via ``jax.linearize`` + a vmapped basis push-forward
-  (forward-mode through the triangular solve == batched TRSM on the MXU).
+* Jacobian ``J = dr/dz`` via ``jax.linearize`` + a vmapped basis push-forward.
   This generalizes the reference's *explicit-Jacobian* Burgers path
   (``src/PDEs.py:295-307``) and never does what its other three problems do -
   ``jax.hessian`` through ``jnp.linalg.solve`` (forward-over-reverse AD of an
@@ -21,6 +20,12 @@ algorithm:
   rejected and the iterate frozen (the reference's NaN check only breaks the
   loop after the damage is done).
 
+TPU note - ``solve_mode``: whitening with triangular solves (``'trsm'``) is
+exact forward substitution, the right choice on CPU/f64; on TPU the MXU sees
+no work in a substitution, so ``'inverse'`` precomputes ``L^{-1}`` once
+(a single big TRSM) and every subsequent whitening - including the per-GN-step
+Jacobian panel - becomes a plain matmul. ``'auto'`` picks by backend.
+
 Total loss convention matches the reference:
 ``sum_b ||L_b^{-1} F_b(z)||^2 + sum_m w_m ||r_m(z)||^2``.
 """
@@ -28,6 +33,7 @@ Total loss convention matches the reference:
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Any, Callable, Dict, NamedTuple, Tuple
 
 import jax
@@ -39,20 +45,46 @@ from ..ops.assembly import (
     gram_matrix,
     observable_sizes,
 )
-from ..ops.linalg import cholesky_with_retry, spd_solve, whiten
+from ..ops.linalg import cholesky_with_retry, spd_solve, tri_inverse, whiten
+
+
+@partial(jax.jit, static_argnums=(0, 1, 3))
+def _assemble_block(kernel, observables, points, nugget_type, nugget):
+    """Gram matrix + nugget diagonal for one GP block, fused under one jit.
+
+    ``kernel`` and ``observables`` are hashable static values, so XLA sees
+    the closed-form derivative blocks as one fusible graph (the reference
+    dispatches one vmapped call per block and round-trips each block through
+    host numpy - ``src/Gram_matrice.py:42-56`` upstream).
+    """
+    theta = gram_matrix(kernel, observables, points)
+    sizes = observable_sizes(observables, points)
+    nug = adaptive_nugget_diag(theta, observables, sizes, nugget, nugget_type)
+    return theta, nug
 
 
 @dataclasses.dataclass(frozen=True)
 class FactoredProblem:
-    """A problem plus the Cholesky factors of its regularized Gram matrices."""
+    """A problem plus factorizations of its regularized Gram matrices.
+
+    ``factors[name]`` is always the lower Cholesky factor ``L``;
+    ``inv_factors[name]`` additionally holds ``L^{-1}`` when
+    ``solve_mode='inverse'`` (empty dict otherwise).
+    """
 
     problem: CollocationProblem
-    factors: Dict[str, jnp.ndarray]  # block name -> lower-triangular L
+    factors: Dict[str, jnp.ndarray]
+    inv_factors: Dict[str, jnp.ndarray]
     nugget_scales: Dict[str, float]  # escalation applied per block (1.0 = none)
+
+    def _whiten(self, name: str, v: jnp.ndarray) -> jnp.ndarray:
+        if name in self.inv_factors:
+            return self.inv_factors[name] @ v
+        return whiten(self.factors[name], v)
 
     def whitened_residual(self, z: jnp.ndarray) -> jnp.ndarray:
         p = self.problem
-        parts = [whiten(self.factors[b.name], b.residual(z, p.data)) for b in p.blocks]
+        parts = [self._whiten(b.name, b.residual(z, p.data)) for b in p.blocks]
         for m in p.misfits:
             parts.append(jnp.sqrt(m.weight) * m.residual(z, p.data))
         return jnp.concatenate(parts)
@@ -73,18 +105,27 @@ def factorize(
     nugget: float,
     nugget_type: str = "adaptive",
     dtype=None,
+    solve_mode: str = "auto",
 ) -> FactoredProblem:
     """Assemble + regularize + factor every GP block's Gram matrix."""
+    if solve_mode == "auto":
+        solve_mode = (
+            "inverse" if jax.default_backend() not in ("cpu",) else "trsm"
+        )
     factors = {}
+    inv_factors = {}
     scales = {}
+    pts = {
+        k: jnp.asarray(v, dtype=dtype) for k, v in problem.points.items()
+    }
     for b in problem.blocks:
-        theta = gram_matrix(b.kernel, b.observables, problem.points, dtype=dtype)
-        sizes = observable_sizes(b.observables, problem.points)
-        nug = adaptive_nugget_diag(theta, b.observables, sizes, nugget, nugget_type)
+        theta, nug = _assemble_block(b.kernel, b.observables, pts, nugget_type, nugget)
         L, s = cholesky_with_retry(theta, nug)
         factors[b.name] = L
         scales[b.name] = s
-    return FactoredProblem(problem, factors, scales)
+        if solve_mode == "inverse":
+            inv_factors[b.name] = jax.jit(tri_inverse)(L)
+    return FactoredProblem(problem, factors, inv_factors, scales)
 
 
 def gn_solve(
@@ -101,12 +142,13 @@ def gn_solve(
     iterates are rejected (z frozen) rather than poisoning the run.
     """
     z_init = fp.problem.init_latent() if z0 is None else jnp.asarray(z0)
+    dtype = next(iter(fp.factors.values())).dtype
+    z_init = z_init.astype(dtype)
     n = z_init.shape[0]
 
     def step(carry, _):
         z, ok = carry
         r, jvp = jax.linearize(fp.whitened_residual, z)
-        # J^T J and J^T r without materializing J transposed twice:
         J = jax.vmap(jvp)(jnp.eye(n, dtype=z.dtype)).T  # (n_resid, n)
         H = J.T @ J
         g = J.T @ r

@@ -1,0 +1,85 @@
+"""1-chip vs N-chip equivalence: the distributed solve path must reproduce
+the single-device engine on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import nonlinpdes_gpsolver_tpu as gpt
+from nonlinpdes_gpsolver_tpu.parallel import make_mesh
+from nonlinpdes_gpsolver_tpu.parallel.gram import assemble_gram_sharded
+from nonlinpdes_gpsolver_tpu.parallel.cholesky import unshard_rows_blockcyclic
+from nonlinpdes_gpsolver_tpu.solvers import factorize, gn_solve
+from nonlinpdes_gpsolver_tpu.solvers.distributed import (
+    factorize_distributed,
+    gn_solve_distributed,
+)
+from nonlinpdes_gpsolver_tpu.ops.assembly import (
+    adaptive_nugget_diag, gram_matrix, observable_sizes,
+)
+
+
+def _elliptic_problem(N=150, Nb=40, seed=0):
+    def u_truth(x):
+        return jnp.sin(jnp.pi * x[0]) * jnp.sin(jnp.pi * x[1])
+
+    def rhs_f(x):
+        return -jnp.trace(jax.hessian(u_truth)(x)) + u_truth(x) ** 3
+
+    Xd, Xb = gpt.utils.sample_random(jax.random.PRNGKey(seed), N, Nb)
+    k = gpt.SquaredExponential.gaussian(0.3)
+    return gpt.models.nonlinear_elliptic(k, Xd, Xb, rhs_f, u_truth, seed=1), u_truth
+
+
+def test_sharded_assembly_matches_dense(eight_devices):
+    prob, _ = _elliptic_problem()
+    mesh = make_mesh(8)
+    b = prob.blocks[0]
+    arranged = assemble_gram_sharded(
+        b.kernel, b.observables, prob.points, mesh, block=16, nugget=1e-9
+    )
+    got = unshard_rows_blockcyclic(arranged, mesh, "p", 16, n=2 * 150 + 40)
+    theta = gram_matrix(b.kernel, b.observables, prob.points)
+    sizes = observable_sizes(b.observables, prob.points)
+    nug = adaptive_nugget_diag(theta, b.observables, sizes, 1e-9, "adaptive")
+    ref = np.asarray(theta + jnp.diag(nug))
+    np.testing.assert_allclose(got, ref, rtol=1e-9)
+
+
+def test_distributed_elliptic_matches_single_device(eight_devices):
+    prob, u_truth = _elliptic_problem()
+    mesh = make_mesh(8)
+    dfp = factorize_distributed(prob, mesh, nugget=1e-10, block=16)
+    dstate = gn_solve_distributed(dfp, max_iter=4)
+
+    fp = factorize(prob, nugget=1e-10, solve_mode="trsm")
+    sstate = gn_solve(fp, max_iter=4)
+
+    np.testing.assert_allclose(
+        np.asarray(dstate.z), np.asarray(sstate.z), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(dstate.losses), np.asarray(sstate.losses), rtol=1e-3
+    )
+
+
+def test_distributed_darcy_two_blocks(eight_devices):
+    """Two GP blocks + misfit (the inverse problem) through the mesh path."""
+    def a_fn(x):
+        return jnp.sin(2 * jnp.pi * x[0]) + jnp.sin(2 * jnp.pi * x[1])
+
+    Xd, Xb = gpt.utils.sample_random(jax.random.PRNGKey(2), 80, 24)
+    k = gpt.SquaredExponential.gaussian(0.3)
+    obs = jnp.linspace(0.0, 0.01, 20)
+    prob = gpt.models.darcy_flow(
+        k, k, Xd, Xb, obs, rhs_f=lambda x: 1.0, noise_level=1e-2, seed=3
+    )
+    mesh = make_mesh(8)
+    dfp = factorize_distributed(prob, mesh, nugget=1e-8, block=16)
+    dstate = gn_solve_distributed(dfp, max_iter=3)
+
+    fp = factorize(prob, nugget=1e-8, solve_mode="trsm")
+    sstate = gn_solve(fp, max_iter=3)
+    np.testing.assert_allclose(
+        np.asarray(dstate.losses), np.asarray(sstate.losses), rtol=1e-3
+    )
