@@ -23,6 +23,6 @@ from .ops import (  # noqa: E402,F401
     regularized_gram,
     observable_sizes,
 )
-from . import models, ops, solvers, utils  # noqa: E402,F401
+from . import compat, models, ops, parallel, solvers, utils  # noqa: E402,F401
 from .api import GPSolver, SolveResult  # noqa: E402,F401
 from .solvers import factorize, gn_solve, Posterior  # noqa: E402,F401

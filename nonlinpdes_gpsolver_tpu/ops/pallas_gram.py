@@ -1,0 +1,140 @@
+"""Pallas TPU tile kernel for derivative-kernel Gram blocks.
+
+The closed-form compiler (:mod:`.kernels`) reduces every Gram block to
+
+    out[i, j] = sum_beta c_beta * prod_k p_{beta_k}(u_k) * exp(-sum_k a_k u_k^2)
+
+with ``u = x_i - y_j`` and static per-``beta`` polynomial tables. This module
+evaluates a block tile-by-tile in VMEM: each ``(TM, TN)`` tile reads one
+``(dim, TM)`` row-coordinate panel and one ``(dim, TN)`` column panel
+(coordinates are carried transposed so the *point* axis is the 128-lane
+axis), computes the difference/polynomial/exp chain fused in registers, and
+writes the tile once - HBM traffic is exactly the output plus O(N) inputs.
+The reference's counterpart materializes all N^2 coordinate pairs through
+``jnp.tile``/``transpose``/``flatten`` and vmaps a scalar kernel over them
+(``src/Gram_matrice.py:23-56`` upstream).
+
+The same kernel runs in interpreter mode on CPU (used by the test-suite for
+bit-level parity against the XLA closed-form path).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .kernels import SquaredExponential, _derivative_poly_coeffs
+from .operators import LinearOp
+
+
+def _combined_terms(inv_sq, terms_x, terms_y):
+    """(coefficient, per-dim polynomial coeff tables) for each merged beta."""
+    combined = {}
+    for cx, ax in terms_x:
+        for cy, ay in terms_y:
+            sign = -1.0 if (sum(ay) % 2) else 1.0
+            beta = tuple(i + j for i, j in zip(ax, ay))
+            combined[beta] = combined.get(beta, 0.0) + cx * cy * sign
+    out = []
+    for beta, coef in combined.items():
+        if coef == 0.0:
+            continue
+        polys = tuple(
+            tuple(_derivative_poly_coeffs(b, a)) if b > 0 else None
+            for b, a in zip(beta, inv_sq)
+        )
+        out.append((coef, polys))
+    return tuple(out)
+
+
+def _tile_kernel(xt_ref, yt_ref, out_ref, *, inv_sq, terms, dim):
+    """One (TM, TN) tile: xt (dim, TM), yt (dim, TN) coordinate panels."""
+    u = [
+        xt_ref[k, :][:, None] - yt_ref[k, :][None, :]  # (TM, TN)
+        for k in range(dim)
+    ]
+    q = sum(inv_sq[k] * u[k] * u[k] for k in range(dim))
+    g = jnp.exp(-q)
+    total = jnp.zeros_like(g)
+    for coef, polys in terms:
+        term = jnp.full_like(g, coef)
+        for k, coeffs in enumerate(polys):
+            if coeffs is None:
+                continue
+            acc = jnp.full_like(g, coeffs[-1])
+            for c in coeffs[-2::-1]:
+                acc = acc * u[k] + c
+            term = term * acc
+        total = total + term
+    out_ref[:, :] = total * g
+
+
+@lru_cache(maxsize=None)
+def _build_pallas_block(
+    inv_sq: Tuple[float, ...],
+    terms_x,
+    terms_y,
+    tile_m: int,
+    tile_n: int,
+    interpret: bool,
+):
+    dim = len(inv_sq)
+    terms = _combined_terms(inv_sq, terms_x, terms_y)
+    kernel = partial(_tile_kernel, inv_sq=inv_sq, terms=terms, dim=dim)
+
+    def block(Xt: jnp.ndarray, Yt: jnp.ndarray) -> jnp.ndarray:
+        """Xt: (dim, N), Yt: (dim, M); N, M must be tile multiples."""
+        n, m = Xt.shape[1], Yt.shape[1]
+        grid = (n // tile_m, m // tile_n)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((dim, tile_m), lambda i, j: (0, i)),
+                pl.BlockSpec((dim, tile_n), lambda i, j: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j: (i, j)),
+            out_shape=jax.ShapeDtypeStruct((n, m), Xt.dtype),
+            interpret=interpret,
+        )(Xt, Yt)
+
+    return block
+
+
+def pallas_pair_fn(
+    kernel: SquaredExponential,
+    op_x: LinearOp,
+    op_y: LinearOp,
+    tile_m: int = 256,
+    tile_n: int = 256,
+    interpret: bool = False,
+):
+    """Pallas-backed equivalent of ``kernel.pair_fn(op_x, op_y)``.
+
+    Returns ``block(X, Y) -> (N, M)`` taking standard (N, dim) coordinate
+    arrays; inputs are padded to tile multiples and the output sliced back.
+    Padding coordinates are a large constant so padded entries underflow to
+    exp(-huge) = 0 rather than producing NaNs.
+    """
+    inner = _build_pallas_block(
+        kernel.inv_sq, op_x.terms, op_y.terms, tile_m, tile_n, interpret
+    )
+
+    def block(X: jnp.ndarray, Y: jnp.ndarray) -> jnp.ndarray:
+        X = jnp.asarray(X)
+        Y = jnp.asarray(Y)
+        n, m = X.shape[0], Y.shape[0]
+        n_pad = -(-n // tile_m) * tile_m
+        m_pad = -(-m // tile_n) * tile_n
+        Xt = jnp.pad(X, ((0, n_pad - n), (0, 0)), constant_values=1e6).T
+        Yt = jnp.pad(Y, ((0, m_pad - m), (0, 0)), constant_values=-1e6).T
+        out = inner(Xt, Yt)
+        return out[:n, :m]
+
+    return block

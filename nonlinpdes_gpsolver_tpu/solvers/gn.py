@@ -134,25 +134,59 @@ def gn_solve(
     max_iter: int = 8,
     step_size: float = 1.0,
     hessian_jitter: float = 0.0,
+    step_solver: str = "direct",
+    cg_tol: float = 1e-10,
+    cg_maxiter: int | None = None,
 ) -> GNState:
     """Run ``max_iter`` Gauss-Newton steps as one compiled ``lax.scan``.
 
-    Each step: linearize the whitened residual at ``z``, form the GN normal
-    system, solve by SPD Cholesky, damped update. Steps producing non-finite
-    iterates are rejected (z frozen) rather than poisoning the run.
+    Each step: linearize the whitened residual at ``z``, solve the GN normal
+    system, damped update. Steps producing non-finite iterates are rejected
+    (z frozen) rather than poisoning the run.
+
+    ``step_solver``:
+    * ``'direct'`` - materialize the Jacobian panel ``J`` (one batched
+      push-forward = one big MXU matmul/TRSM), form ``J^T J`` and solve by
+      SPD Cholesky. Right choice while the latent dimension fits (memory
+      O(n_resid * latent)).
+    * ``'cg'`` - matrix-free conjugate gradients on ``v -> J^T (J v)`` using
+      one jvp + one vjp per CG iteration; memory O(n_resid + latent). This
+      is the path past the reference's dense limit: at 100k+ collocation
+      points the explicit Jacobian panel no longer fits, but whitening keeps
+      ``J^T J`` well-conditioned so CG converges quickly.
     """
     z_init = fp.problem.init_latent() if z0 is None else jnp.asarray(z0)
     dtype = next(iter(fp.factors.values())).dtype
     z_init = z_init.astype(dtype)
     n = z_init.shape[0]
 
-    def step(carry, _):
-        z, ok = carry
-        r, jvp = jax.linearize(fp.whitened_residual, z)
+    def solve_direct(z, r, jvp):
         J = jax.vmap(jvp)(jnp.eye(n, dtype=z.dtype)).T  # (n_resid, n)
         H = J.T @ J
         g = J.T @ r
-        delta = spd_solve(H, g, jitter=hessian_jitter)
+        return spd_solve(H, g, jitter=hessian_jitter)
+
+    def solve_cg(z, r, jvp):
+        _, vjp = jax.vjp(fp.whitened_residual, z)
+
+        def normal_op(v):
+            hv = vjp(jvp(v))[0]
+            if hessian_jitter:
+                hv = hv + hessian_jitter * v
+            return hv
+
+        g = vjp(r)[0]
+        delta, _ = jax.scipy.sparse.linalg.cg(
+            normal_op, g, tol=cg_tol, maxiter=cg_maxiter
+        )
+        return delta
+
+    inner = solve_cg if step_solver == "cg" else solve_direct
+
+    def step(carry, _):
+        z, ok = carry
+        r, jvp = jax.linearize(fp.whitened_residual, z)
+        delta = inner(z, r, jvp)
         z_new = z - step_size * delta
         finite = jnp.all(jnp.isfinite(z_new))
         z_next = jnp.where(finite, z_new, z)

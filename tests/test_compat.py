@@ -1,0 +1,119 @@
+"""The compat facade must run a reference-style driver script unchanged
+(modulo the import), for every PDE type string."""
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nonlinpdes_gpsolver_tpu.compat import solver_GP
+
+
+def _cfg(**kw):
+    ns = argparse.Namespace(
+        kernel="Gaussian", kernel_parameter=0.2, nugget=1e-10,
+        nugget_type="adaptive", GNsteps=4, step_size=1, initial_sol="rdm",
+        alpha=1.0, m=3, nu=0.02, eps=0.1, randomseed=7, print_hist=False,
+    )
+    for k, v in kw.items():
+        setattr(ns, k, v)
+    return ns
+
+
+def test_compat_elliptic_reference_driver_flow():
+    """Mirrors main_NonLinElliptic2d.py steps 1-5 with (x1, x2) callables."""
+    def u(x1, x2):
+        return jnp.sin(jnp.pi * x1) * jnp.sin(jnp.pi * x2)
+
+    def f(x1, x2):
+        uu = lambda x: u(x[0], x[1])
+        x = jnp.stack([x1, x2])
+        return -jnp.trace(jax.hessian(uu)(x)) + u(x1, x2) ** 3
+
+    solver = solver_GP(_cfg(), PDE_type="Nonlinear_elliptic")
+    solver.set_equation(bdy=u, rhs=f, domain=np.array([[0, 1], [0, 1]]))
+    solver.auto_sample(300, 60, sampled_type="random")
+    solver.solve(method="elimination")
+
+    truth_c = np.asarray(jax.vmap(lambda x: u(x[0], x[1]))(jnp.asarray(solver._X_domain)))
+    stats_c = solver.collocation_pts_err(truth_c, print_option=False)
+    assert stats_c.l2 < 1e-4
+
+    xx = np.linspace(0, 1, 20)
+    XX, YY = np.meshgrid(xx, xx)
+    X_test = np.stack([XX.ravel(), YY.ravel()], axis=1)
+    solver.test(X_test)
+    truth_t = np.asarray(jax.vmap(lambda x: u(x[0], x[1]))(jnp.asarray(X_test)))
+    stats_t = solver.get_test_error(truth_t, print_option=False)
+    assert stats_t.l2 < 1e-4
+
+
+def test_compat_relaxation_method():
+    def u(x1, x2):
+        return jnp.sin(jnp.pi * x1) * jnp.sin(jnp.pi * x2)
+
+    def f(x1, x2):
+        uu = lambda x: u(x[0], x[1])
+        x = jnp.stack([x1, x2])
+        return -jnp.trace(jax.hessian(uu)(x)) + u(x1, x2) ** 3
+
+    solver = solver_GP(_cfg(GNsteps=6), PDE_type="Nonlinear_elliptic")
+    solver.set_equation(bdy=u, rhs=f)
+    solver.auto_sample(200, 48)
+    solver.solve(method="relaxation", pen_lambda=1e-10)
+    assert solver.loss_hist[-1] < solver.loss_hist[0]
+
+
+def test_compat_burgers_time_dependent_sampling():
+    solver = solver_GP(
+        _cfg(kernel="anisotropic_Gaussian", kernel_parameter=[0.3, 0.05],
+             nugget=1e-5, GNsteps=4),
+        PDE_type="Burgers",
+    )
+    solver.set_equation(
+        bdy=lambda x1, x2: jnp.where(x1 == 0.0, -jnp.sin(jnp.pi * x2), 0.0),
+        rhs=lambda x1, x2: 0.0,
+        domain=np.array([[0, 1], [-1, 1]]),
+    )
+    solver.auto_sample(200, 60)
+    # boundary must be the time-dependent faces
+    Xb = solver._X_boundary
+    assert np.all((Xb[:, 0] == 0.0) | (np.abs(Xb[:, 1]) == 1.0))
+    solver.solve()
+    assert solver.loss_hist[-1] < solver.loss_hist[0]
+
+
+def test_compat_darcy_inverse_flow():
+    solver = solver_GP(_cfg(nugget=1e-8, GNsteps=4), PDE_type="Darcy_flow2d")
+    solver.set_equation(bdy=lambda x1, x2: 0.0, rhs=lambda x1, x2: 1.0)
+    solver.auto_sample_IP(120, 40, N_data=20)
+    solver.get_observed_data(np.linspace(0, 0.01, 20), noise_level=1e-3)
+    solver.solve()
+    xx = np.linspace(0.05, 0.95, 10)
+    XX, YY = np.meshgrid(xx, xx)
+    solver.test(np.stack([XX.ravel(), YY.ravel()], axis=1))
+    assert solver.extended_sol_u.shape == (100,)
+    assert solver.extended_sol_a.shape == (100,)
+    assert np.all(np.isfinite(solver.extended_sol_a))
+
+
+def test_compat_rejects_unknown_pde():
+    try:
+        solver_GP(_cfg(), PDE_type="Wave")
+    except ValueError as e:
+        assert "Wave" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
+
+
+def test_compat_relaxation_only_elliptic():
+    solver = solver_GP(_cfg(), PDE_type="Eikonal")
+    solver.set_equation(bdy=lambda x1, x2: 0.0, rhs=lambda x1, x2: 1.0)
+    solver.auto_sample(50, 20)
+    try:
+        solver.solve(method="relaxation")
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("expected ValueError")

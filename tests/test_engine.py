@@ -191,3 +191,27 @@ def test_burgers_truth_initial_condition():
     t = np.linspace(0, 1, 7)
     T, X = np.meshgrid(t, x)
     assert np.abs(u(T, X)).max() <= 1.0 + 1e-8
+
+
+def test_gn_cg_matches_direct():
+    """Matrix-free CG step solver must match the explicit-Jacobian path."""
+    import nonlinpdes_gpsolver_tpu as gpt
+
+    def u_truth(x):
+        return jnp.sin(jnp.pi * x[0]) * jnp.sin(jnp.pi * x[1])
+
+    def rhs_f(x):
+        return -jnp.trace(jax.hessian(u_truth)(x)) + u_truth(x) ** 3
+
+    Xd, Xb = gpt.utils.sample_random(jax.random.PRNGKey(4), 120, 32)
+    k = SquaredExponential.gaussian(0.3)
+    prob = gpt.models.nonlinear_elliptic(k, Xd, Xb, rhs_f, u_truth, seed=2)
+    fp = factorize(prob, nugget=1e-10)
+    st_d = gn_solve(fp, max_iter=4, step_solver="direct")
+    st_cg = gn_solve(fp, max_iter=4, step_solver="cg", cg_tol=1e-14)
+    np.testing.assert_allclose(
+        np.asarray(st_cg.z), np.asarray(st_d.z), atol=5e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_cg.losses[-1]), np.asarray(st_d.losses[-1]), rtol=1e-6
+    )
