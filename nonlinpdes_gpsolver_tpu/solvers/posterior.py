@@ -17,7 +17,6 @@ import jax.numpy as jnp
 
 from ..models.spec import CollocationProblem
 from ..ops.assembly import cross_gram
-from ..ops.linalg import kernel_solve
 from ..ops.operators import LinearOp, identity
 from .gn import FactoredProblem
 
@@ -32,7 +31,7 @@ class Posterior:
         self._weights: Dict[str, jnp.ndarray] = {}
         for b in p.blocks:
             F = b.residual(self.z_star, p.data)
-            self._weights[b.name] = kernel_solve(fp.factors[b.name], F)
+            self._weights[b.name] = fp.kernel_solve(b.name, F)
 
     def weights(self, block: str) -> jnp.ndarray:
         return self._weights[block]

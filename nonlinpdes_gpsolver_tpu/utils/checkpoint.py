@@ -33,12 +33,15 @@ def save_solver_state(
         "blocks": [b.name for b in fp.problem.blocks],
         "nugget_scales": fp.nugget_scales,
         "has_inverse": sorted(fp.inv_factors.keys()),
+        "has_col_scales": sorted(fp.col_scales.keys()),
         "has_state": state is not None,
     }
     for name, L in fp.factors.items():
         payload[f"factor__{name}"] = np.asarray(L)
     for name, Li in fp.inv_factors.items():
         payload[f"inv_factor__{name}"] = np.asarray(Li)
+    for name, cs in fp.col_scales.items():
+        payload[f"col_scale__{name}"] = np.asarray(cs)
     if state is not None:
         payload["z"] = np.asarray(state.z)
         payload["losses"] = np.asarray(state.losses)
@@ -66,6 +69,7 @@ def load_solver_state(
             )
         factors = {}
         inv_factors = {}
+        col_scales = {}
         for b in problem.blocks:
             if b.name not in meta["blocks"]:
                 raise ValueError(f"checkpoint missing block {b.name!r}")
@@ -81,11 +85,14 @@ def load_solver_state(
             factors[b.name] = L
             if b.name in meta["has_inverse"]:
                 inv_factors[b.name] = jnp.asarray(data[f"inv_factor__{b.name}"])
+            if b.name in meta.get("has_col_scales", []):
+                col_scales[b.name] = jnp.asarray(data[f"col_scale__{b.name}"])
         fp = FactoredProblem(
             problem=problem,
             factors=factors,
             inv_factors=inv_factors,
             nugget_scales={k: float(v) for k, v in meta["nugget_scales"].items()},
+            col_scales=col_scales,
         )
         state = None
         if meta["has_state"]:
