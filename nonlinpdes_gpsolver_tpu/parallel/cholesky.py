@@ -209,12 +209,52 @@ def _trsm_kernel(localL, V, *, nb: int, B: int, P_: int, axis: str):
     return lax.fori_loop(0, nb, body, jnp.zeros_like(V))
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
-def _trsm_sharded(localL, V, mesh: Mesh, axis: str, block: int):
+def _trsm_t_kernel(localL, V, *, nb: int, B: int, P_: int, axis: str):
+    """Backward substitution ``Y = L^{-T} V``; V and Y replicated (n_pad, m).
+
+    Column ``k`` of ``L`` is spread over the row owners, so each step is a
+    local partial product + one ``psum`` - the transpose-apply analog of the
+    forward solve's owner-row broadcast.
+    """
+    p = lax.axis_index(axis)
+    nbl = nb // P_
+    g_idx = jnp.arange(nbl) * P_ + p
+    m = V.shape[1]
+
+    def body(i, Y):
+        k = nb - 1 - i
+        kB = k * B
+        colk = lax.dynamic_slice(localL, (0, 0, kB), (nbl, B, B))
+        Yblk = jax.vmap(
+            lambda g: lax.dynamic_slice(Y, (g * B, 0), (B, m))
+        )(g_idx)
+        below = (g_idx > k)[:, None, None]
+        partial_sum = jnp.einsum(
+            "sbc,sbm->cm",
+            jnp.where(below, colk, 0.0),
+            Yblk,
+            preferred_element_type=Y.dtype,
+        )
+        total = lax.psum(partial_sum, axis)
+        # diagonal block (same redundant-factor trick as the forward solve)
+        slot = k // P_
+        owner = k % P_
+        cand = lax.dynamic_slice(localL, (slot, 0, kB), (1, B, B))[0]
+        L_kk = lax.all_gather(cand, axis)[owner]
+        rhs = lax.dynamic_slice(V, (kB, 0), (B, m)) - total
+        yk = solve_triangular(L_kk, rhs, lower=True, trans=1)
+        return lax.dynamic_update_slice(Y, yk, (kB, 0))
+
+    return lax.fori_loop(0, nb, body, jnp.zeros_like(V))
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _trsm_sharded(localL, V, mesh: Mesh, axis: str, block: int, trans: bool):
     nb = localL.shape[0]
     P_ = mesh.shape[axis]
+    kern = _trsm_t_kernel if trans else _trsm_kernel
     fn = shard_map(
-        partial(_trsm_kernel, nb=nb, B=block, P_=P_, axis=axis),
+        partial(kern, nb=nb, B=block, P_=P_, axis=axis),
         mesh=mesh,
         in_specs=(P(axis, None, None), P(None, None)),
         out_specs=P(None, None),
@@ -223,8 +263,11 @@ def _trsm_sharded(localL, V, mesh: Mesh, axis: str, block: int):
     return fn(localL, V)
 
 
-def trsm_blockcyclic(factor: BlockCyclicFactor, V) -> jnp.ndarray:
-    """``L^{-1} V`` for a block-cyclic factor; V is (n, m) replicated."""
+def trsm_blockcyclic(
+    factor: BlockCyclicFactor, V, trans: bool = False
+) -> jnp.ndarray:
+    """``L^{-1} V`` (or ``L^{-T} V`` with ``trans``) for a block-cyclic
+    factor; V is (n, m) replicated."""
     V = jnp.asarray(V)
     squeeze = V.ndim == 1
     if squeeze:
@@ -236,6 +279,13 @@ def trsm_blockcyclic(factor: BlockCyclicFactor, V) -> jnp.ndarray:
         V = jnp.concatenate(
             [V, jnp.zeros((factor.n_pad - n, m), dtype=V.dtype)]
         )
-    Y = _trsm_sharded(factor.local, V, factor.mesh, factor.axis, factor.block)
+    Y = _trsm_sharded(
+        factor.local, V, factor.mesh, factor.axis, factor.block, trans
+    )
     Y = Y[: factor.n]
     return Y[:, 0] if squeeze else Y
+
+
+def kernel_solve_blockcyclic(factor: BlockCyclicFactor, V) -> jnp.ndarray:
+    """``Theta^{-1} V = L^{-T} L^{-1} V`` - distributed representer weights."""
+    return trsm_blockcyclic(factor, trsm_blockcyclic(factor, V), trans=True)

@@ -32,6 +32,7 @@ from ..ops.linalg import spd_solve
 from ..parallel.cholesky import (
     BlockCyclicFactor,
     _chol_sharded,
+    kernel_solve_blockcyclic,
     trsm_blockcyclic,
 )
 from ..parallel.gram import assemble_gram_sharded
@@ -110,6 +111,34 @@ def gn_step_distributed(
     z_new = z - step_size * delta
     finite = jnp.all(jnp.isfinite(z_new))
     return jnp.where(finite, z_new, z)
+
+
+class DistributedPosterior:
+    """Posterior means with representer weights computed by distributed
+    forward+backward triangular solves against the sharded factors (the
+    distributed analog of :class:`.posterior.Posterior`)."""
+
+    def __init__(self, fp: DistributedFactoredProblem, z_star: jnp.ndarray):
+        self.fp = fp
+        self.z_star = jnp.asarray(z_star)
+        p = fp.problem
+        self._weights = {
+            b.name: kernel_solve_blockcyclic(
+                fp.factors[b.name], b.residual(self.z_star, p.data)
+            )
+            for b in p.blocks
+        }
+
+    def extend(self, X_test, block: str | None = None, op=None) -> jnp.ndarray:
+        from ..ops.assembly import cross_gram
+        from ..ops.operators import identity
+
+        p = self.fp.problem
+        b = p.block(block) if block is not None else p.blocks[0]
+        if op is None:
+            op = identity(b.kernel.dim)
+        ct = cross_gram(b.kernel, op, jnp.asarray(X_test), b.observables, p.points)
+        return ct @ self._weights[b.name]
 
 
 def gn_solve_distributed(

@@ -83,3 +83,26 @@ def test_distributed_darcy_two_blocks(eight_devices):
     np.testing.assert_allclose(
         np.asarray(dstate.losses), np.asarray(sstate.losses), rtol=1e-3
     )
+
+
+def test_distributed_posterior_matches_single_device(eight_devices):
+    from nonlinpdes_gpsolver_tpu.solvers.distributed import DistributedPosterior
+    from nonlinpdes_gpsolver_tpu.solvers import Posterior
+
+    prob, u_truth = _elliptic_problem()
+    mesh = make_mesh(8)
+    dfp = factorize_distributed(prob, mesh, nugget=1e-10, block=16)
+    dstate = gn_solve_distributed(dfp, max_iter=4)
+    Xt = gpt.utils.test_grid(15, 15)
+    dpost = DistributedPosterior(dfp, dstate.z)
+
+    fp = factorize(prob, nugget=1e-10, solve_mode="trsm")
+    sstate = gn_solve(fp, max_iter=4)
+    spost = Posterior(fp, sstate.z)
+
+    np.testing.assert_allclose(
+        np.asarray(dpost.extend(Xt)), np.asarray(spost.extend(Xt)), atol=1e-7
+    )
+    truth = jax.vmap(u_truth)(Xt)
+    err = np.abs(np.asarray(dpost.extend(Xt)) - np.asarray(truth))
+    assert np.sqrt((err**2).mean()) < 1e-3

@@ -63,3 +63,27 @@ def test_distributed_trsm_vector_rhs(eight_devices):
     y = np.asarray(trsm_blockcyclic(fac, v))
     assert y.shape == (n,)
     np.testing.assert_allclose(y, np.linalg.solve(np.linalg.cholesky(A), v), atol=1e-8)
+
+
+def test_distributed_trsm_transposed(eight_devices):
+    mesh = make_mesh(8)
+    n = 144
+    A = _spd(n, seed=13)
+    rng = np.random.default_rng(4)
+    V = rng.standard_normal((n, 5))
+    fac = cholesky_blockcyclic(A, mesh, block=16)
+    Y = np.asarray(trsm_blockcyclic(fac, V, trans=True))
+    L = np.linalg.cholesky(A)
+    np.testing.assert_allclose(Y, np.linalg.solve(L.T, V), atol=1e-8)
+
+
+def test_distributed_kernel_solve(eight_devices):
+    from nonlinpdes_gpsolver_tpu.parallel.cholesky import kernel_solve_blockcyclic
+
+    mesh = make_mesh(8)
+    n = 128
+    A = _spd(n, seed=17)
+    v = np.random.default_rng(5).standard_normal(n)
+    fac = cholesky_blockcyclic(A, mesh, block=16)
+    w = np.asarray(kernel_solve_blockcyclic(fac, v))
+    np.testing.assert_allclose(w, np.linalg.solve(A, v), atol=1e-7)
