@@ -16,10 +16,12 @@ Here:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.scipy.linalg import solve_triangular
 
 
@@ -74,6 +76,90 @@ def tri_inverse(L: jnp.ndarray) -> jnp.ndarray:
 def kernel_solve(L: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """``Theta^{-1} v = L^{-T} L^{-1} v`` via two triangular solves."""
     return solve_triangular(L, solve_triangular(L, v, lower=True), lower=True, trans=1)
+
+
+def _pad_spd(M: jnp.ndarray, block: int):
+    n = M.shape[0]
+    n_pad = ((n + block - 1) // block) * block
+    if n_pad == n:
+        return M, n
+    pad = n_pad - n
+    M = jnp.pad(M, ((0, pad), (0, pad)))
+    idx = jnp.arange(n, n_pad)
+    return M.at[idx, idx].set(1.0), n
+
+
+@partial(jax.jit, static_argnums=(1,))
+def blocked_cholesky(M: jnp.ndarray, block: int = 256) -> jnp.ndarray:
+    """Right-looking blocked Cholesky with precision-controlled matmuls.
+
+    XLA's native ``cholesky`` on TPU runs its internal dots at the default
+    (bfloat16-pass) matmul precision and - on the backends we target -
+    ignores ``jax_default_matmul_precision``, which NaNs on the
+    ill-conditioned Gram matrices this solver produces (verified: a matrix
+    that factors fine in f32 on CPU NaNs on TPU). This implementation keeps
+    the O(n^3) trailing updates in explicit ``Precision.HIGHEST`` matmuls;
+    only the B x B diagonal factorizations use the native op, where the
+    precision loss cannot accumulate.
+    """
+    M, n = _pad_spd(M, block)
+    n_pad = M.shape[0]
+    nb = n_pad // block
+    B = block
+
+    def body(k, M):
+        kB = k * B
+        Akk = lax.dynamic_slice(M, (kB, kB), (B, B))
+        Lkk = jnp.linalg.cholesky(Akk)
+        col = lax.dynamic_slice(M, (0, kB), (n_pad, B))
+        Lcol = solve_triangular(Lkk, col.T, lower=True).T  # (n_pad, B)
+        rows_below = jnp.arange(n_pad) >= kB + B
+        Lcol = jnp.where(rows_below[:, None], Lcol, 0.0)
+        # write the finished panel column: diagonal block + below-diagonal
+        # rows (rows above kB are upper-triangle, never read again)
+        newcol = lax.dynamic_update_slice(Lcol, Lkk, (kB, 0))
+        M = lax.dynamic_update_slice(M, newcol, (0, kB))
+        upd = jnp.matmul(Lcol, Lcol.T, precision=jax.lax.Precision.HIGHEST)
+        colmask = jnp.arange(n_pad) >= kB + B
+        M = M - jnp.where(rows_below[:, None] & colmask[None, :], upd, 0.0)
+        return M
+
+    M = lax.fori_loop(0, nb, body, M)
+    return jnp.tril(M)[:n, :n]
+
+
+@partial(jax.jit, static_argnums=(2,))
+def blocked_trsm(L: jnp.ndarray, V: jnp.ndarray, block: int = 256) -> jnp.ndarray:
+    """Forward substitution ``L^{-1} V`` with precision-controlled matmuls
+    (multi-RHS; the TPU-safe counterpart of ``solve_triangular``)."""
+    n = L.shape[0]
+    n_pad = ((n + block - 1) // block) * block
+    B = block
+    if n_pad > n:
+        pad = n_pad - n
+        L = jnp.pad(L, ((0, pad), (0, pad)))
+        idx = jnp.arange(n, n_pad)
+        L = L.at[idx, idx].set(1.0)
+        V = jnp.pad(V, ((0, pad), (0, 0)))
+    nb = n_pad // B
+
+    def body(k, Y):
+        kB = k * B
+        row = lax.dynamic_slice(L, (kB, 0), (B, n_pad))
+        prod = jnp.matmul(row, Y, precision=jax.lax.Precision.HIGHEST)
+        Lkk = lax.dynamic_slice(L, (kB, kB), (B, B))
+        rhs = lax.dynamic_slice(V, (kB, 0), (B, V.shape[1])) - prod
+        yk = solve_triangular(Lkk, rhs, lower=True)
+        return lax.dynamic_update_slice(Y, yk, (kB, 0))
+
+    Y = lax.fori_loop(0, nb, body, jnp.zeros_like(V))
+    return Y[:n]
+
+
+def blocked_tri_inverse(L: jnp.ndarray, block: int = 256) -> jnp.ndarray:
+    """``L^{-1}`` via the precision-controlled blocked forward substitution."""
+    eye = jnp.eye(L.shape[0], dtype=L.dtype)
+    return blocked_trsm(L, eye, block)
 
 
 def spd_solve(H: jnp.ndarray, g: jnp.ndarray, jitter: float = 0.0) -> jnp.ndarray:

@@ -29,7 +29,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .kernels import SquaredExponential, _derivative_poly_coeffs
+from .kernels import SquaredExponential, _derivative_poly_coeffs, exp_neg_accurate
 from .operators import LinearOp
 
 
@@ -60,7 +60,7 @@ def _tile_kernel(xt_ref, yt_ref, out_ref, *, inv_sq, terms, dim):
         for k in range(dim)
     ]
     q = sum(inv_sq[k] * u[k] * u[k] for k in range(dim))
-    g = jnp.exp(-q)
+    g = exp_neg_accurate(q)  # ~1 ulp in f32 (TPU-native exp is ~40 ulp)
     total = jnp.zeros_like(g)
     for coef, polys in terms:
         term = jnp.full_like(g, coef)

@@ -149,7 +149,9 @@ def _chol_kernel(local, *, nb: int, B: int, P_: int, axis: str):
         # trailing update A_ij -= L_ik L_jk^T for rows below, columns > k
         colmask = jnp.arange(n_pad) >= (k + 1) * B
         update = jnp.einsum(
-            "sbc,nc->sbn", Lcol, C, preferred_element_type=Lcol.dtype
+            "sbc,nc->sbn", Lcol, C,
+            preferred_element_type=Lcol.dtype,
+            precision=jax.lax.Precision.HIGHEST,
         )
         update = jnp.where(below & colmask[None, None, :], update, 0.0)
         return local - update
@@ -201,7 +203,8 @@ def _trsm_kernel(localL, V, *, nb: int, B: int, P_: int, axis: str):
         # Y above kB is already solved; at/below kB it is still zero, and
         # row[:, > diag] is zero in the factor, so row @ Y picks exactly the
         # solved prefix.
-        rhs = lax.dynamic_slice(V, (kB, 0), (B, V.shape[1])) - row @ Y
+        prod = jnp.matmul(row, Y, precision=jax.lax.Precision.HIGHEST)
+        rhs = lax.dynamic_slice(V, (kB, 0), (B, V.shape[1])) - prod
         L_kk = lax.dynamic_slice(row, (0, kB), (B, B))
         yk = solve_triangular(L_kk, rhs, lower=True)
         return lax.dynamic_update_slice(Y, yk, (kB, 0))
@@ -234,6 +237,7 @@ def _trsm_t_kernel(localL, V, *, nb: int, B: int, P_: int, axis: str):
             jnp.where(below, colk, 0.0),
             Yblk,
             preferred_element_type=Y.dtype,
+            precision=jax.lax.Precision.HIGHEST,
         )
         total = lax.psum(partial_sum, axis)
         # diagonal block (same redundant-factor trick as the forward solve)

@@ -45,7 +45,14 @@ from ..ops.assembly import (
     gram_matrix,
     observable_sizes,
 )
-from ..ops.linalg import cholesky_with_retry, spd_solve, tri_inverse, whiten
+from ..ops.linalg import (
+    blocked_cholesky,
+    blocked_tri_inverse,
+    cholesky_with_retry,
+    spd_solve,
+    tri_inverse,
+    whiten,
+)
 
 
 @partial(jax.jit, static_argnums=(0, 1, 3))
@@ -87,16 +94,27 @@ class FactoredProblem:
 
     def _whiten(self, name: str, v: jnp.ndarray) -> jnp.ndarray:
         if name in self.inv_factors:
-            return self.inv_factors[name] @ v
+            return jnp.matmul(
+                self.inv_factors[name], v, precision=jax.lax.Precision.HIGHEST
+            )
         if name in self.col_scales:
             s = self.col_scales[name]
             v = v * (s if v.ndim == 1 else s[:, None])
         return whiten(self.factors[name], v)
 
     def kernel_solve(self, name: str, v: jnp.ndarray) -> jnp.ndarray:
-        """``Theta^{-1} v`` through the equilibrated factor."""
+        """``Theta^{-1} v`` through the equilibrated factor.
+
+        With a precomputed whitening operator ``W = L~^{-1} D^{-1/2}`` this is
+        ``W^T (W v)`` - two precision-controlled matmuls (the TPU path);
+        otherwise two triangular solves plus the scale.
+        """
         from jax.scipy.linalg import solve_triangular
 
+        if name in self.inv_factors:
+            W = self.inv_factors[name]
+            hi = jax.lax.Precision.HIGHEST
+            return jnp.matmul(W.T, jnp.matmul(W, v, precision=hi), precision=hi)
         L = self.factors[name]
         s = self.col_scales.get(name)
         if s is not None:
@@ -125,14 +143,20 @@ class GNState(NamedTuple):
     converged_finite: jnp.ndarray  # False if any step was rejected as non-finite
 
 
-@jax.jit
-def _equilibrated_cholesky(theta, nug_diag, s):
-    """Factor ``D^{-1/2} (theta + s*diag(nug)) D^{-1/2}`` (unit diagonal)."""
+@partial(jax.jit, static_argnums=(3,))
+def _equilibrated_cholesky(theta, nug_diag, s, use_blocked=False):
+    """Factor ``D^{-1/2} (theta + s*diag(nug)) D^{-1/2}`` (unit diagonal).
+
+    ``use_blocked`` selects the precision-controlled blocked factorization
+    (:func:`..ops.linalg.blocked_cholesky`) - required on TPU, where XLA's
+    native cholesky runs internal dots at bf16-pass precision.
+    """
     d = jnp.diagonal(theta) + s * nug_diag
     d_isqrt = jax.lax.rsqrt(d)
     M = theta * (d_isqrt[:, None] * d_isqrt[None, :])
     M = M.at[jnp.arange(theta.shape[0]), jnp.arange(theta.shape[0])].set(1.0)
-    return jnp.linalg.cholesky(M), d_isqrt
+    L = blocked_cholesky(M) if use_blocked else jnp.linalg.cholesky(M)
+    return L, d_isqrt
 
 
 def factorize(
@@ -148,10 +172,9 @@ def factorize(
     ``equilibrate`` (default) factors the diagonally-scaled matrix - exactly
     equivalent whitening, far better fp32 conditioning (the TPU regime).
     """
+    on_accelerator = jax.default_backend() not in ("cpu",)
     if solve_mode == "auto":
-        solve_mode = (
-            "inverse" if jax.default_backend() not in ("cpu",) else "trsm"
-        )
+        solve_mode = "inverse" if on_accelerator else "trsm"
     factors = {}
     inv_factors = {}
     scales = {}
@@ -164,7 +187,9 @@ def factorize(
         if equilibrate:
             s = 1.0
             for _ in range(6):
-                L, d_isqrt = _equilibrated_cholesky(theta, nug, s)
+                L, d_isqrt = _equilibrated_cholesky(
+                    theta, nug, s, on_accelerator
+                )
                 if bool(jnp.all(jnp.isfinite(L))):
                     break
                 s *= 10.0
@@ -179,7 +204,10 @@ def factorize(
         factors[b.name] = L
         scales[b.name] = s
         if solve_mode == "inverse":
-            inv = jax.jit(tri_inverse)(L)
+            if on_accelerator:
+                inv = blocked_tri_inverse(L)
+            else:
+                inv = jax.jit(tri_inverse)(L)
             if equilibrate:
                 inv = inv * col_scales[b.name][None, :]
             inv_factors[b.name] = inv
@@ -219,9 +247,10 @@ def gn_solve(
     n = z_init.shape[0]
 
     def solve_direct(z, r, jvp):
+        hi = jax.lax.Precision.HIGHEST
         J = jax.vmap(jvp)(jnp.eye(n, dtype=z.dtype)).T  # (n_resid, n)
-        H = J.T @ J
-        g = J.T @ r
+        H = jnp.matmul(J.T, J, precision=hi)
+        g = jnp.matmul(J.T, r, precision=hi)
         return spd_solve(H, g, jitter=hessian_jitter)
 
     def solve_cg(z, r, jvp):

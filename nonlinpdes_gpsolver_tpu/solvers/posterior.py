@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 
 from ..models.spec import CollocationProblem
@@ -54,4 +55,6 @@ class Posterior:
         ct = cross_gram(
             b.kernel, op, jnp.asarray(X_test), b.observables, p.points
         )
-        return ct @ self._weights[b.name]
+        return jnp.matmul(
+            ct, self._weights[b.name], precision=jax.lax.Precision.HIGHEST
+        )

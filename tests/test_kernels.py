@@ -110,3 +110,20 @@ def test_operator_algebra():
     assert comp.terms == d2(0, 0).terms
     zero = d(1) - d(1)
     assert zero.terms == ()
+
+
+def test_exp_neg_accurate_f32():
+    """Cody-Waite exp must be ~1-2 ulp in f32 over the kernel's q range
+    (the TPU-native exp is ~40 ulp, which breaks Gram PSD-ness)."""
+    from nonlinpdes_gpsolver_tpu.ops.kernels import exp_neg_accurate
+
+    q = jnp.asarray(np.linspace(0.0, 60.0, 20001), dtype=jnp.float32)
+    got = np.asarray(exp_neg_accurate(q)).astype(np.float64)
+    ref = np.exp(-np.asarray(q).astype(np.float64))
+    rel = np.abs(got - ref) / np.maximum(ref, 1e-300)
+    assert rel.max() < 5e-7, rel.max()
+    # f64 path defers to jnp.exp exactly
+    q64 = jnp.asarray([0.3, 2.0, 10.0], dtype=jnp.float64)
+    np.testing.assert_array_equal(
+        np.asarray(exp_neg_accurate(q64)), np.asarray(jnp.exp(-q64))
+    )
