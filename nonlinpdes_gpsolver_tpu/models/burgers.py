@@ -18,6 +18,7 @@ code at all.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Callable, Optional
 
 import jax
@@ -28,6 +29,16 @@ from ..ops.kernels import SquaredExponential
 from ..ops.operators import d, d2, identity
 from .spec import CollocationProblem, GPBlock
 from .elliptic import _eval_on
+
+
+@lru_cache(maxsize=None)
+def _burgers_residual(alpha: float, nu: float, N_d: int):
+    def residual(z, data):
+        v0, v2, v3 = z[:N_d], z[N_d : 2 * N_d], z[2 * N_d :]
+        u_t = nu * v3 + data["f"] - alpha * v0 * v2
+        return jnp.concatenate([u_t, v2, v3, v0, data["g"]])
+
+    return residual
 
 
 def burgers(
@@ -48,10 +59,7 @@ def burgers(
     g_vals = bdy_g if isinstance(bdy_g, jnp.ndarray) else _eval_on(bdy_g, X_boundary)
     data = {"f": f_vals, "g": g_vals}
 
-    def residual(z, data):
-        v0, v2, v3 = z[:N_d], z[N_d : 2 * N_d], z[2 * N_d :]
-        u_t = nu * v3 + data["f"] - alpha * v0 * v2
-        return jnp.concatenate([u_t, v2, v3, v0, data["g"]])
+    residual = _burgers_residual(float(alpha), float(nu), N_d)
 
     observables = (
         Observable("domain", d(0)),        # u_t

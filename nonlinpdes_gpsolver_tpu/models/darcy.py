@@ -22,6 +22,7 @@ GP block layouts (functional row order == Gram block order):
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Callable
 
 import jax
@@ -32,6 +33,33 @@ from ..ops.kernels import SquaredExponential
 from ..ops.operators import d, identity, laplacian
 from .spec import CollocationProblem, GPBlock, Misfit
 from .elliptic import _eval_on
+
+
+@lru_cache(maxsize=None)
+def _darcy_residuals(N_d: int, N_data: int):
+    def split(z):
+        w0, w1, w2 = z[:N_d], z[N_d : 2 * N_d], z[2 * N_d : 3 * N_d]
+        v0, v1, v2 = (
+            z[3 * N_d : 4 * N_d],
+            z[4 * N_d : 5 * N_d],
+            z[5 * N_d : 6 * N_d],
+        )
+        return w0, w1, w2, v0, v1, v2
+
+    def residual_a(z, data):
+        w0, w1, w2, *_ = split(z)
+        return jnp.concatenate([w1, w2, w0])
+
+    def residual_u(z, data):
+        w0, w1, w2, v0, v1, v2 = split(z)
+        lap_u = -v1 * w1 - v2 * w2 - data["f"] * jnp.exp(-w0)
+        return jnp.concatenate([v1, v2, lap_u, v0, data["g"]])
+
+    def data_misfit(z, data):
+        _, _, _, v0, _, _ = split(z)
+        return v0[:N_data] - data["obs"]
+
+    return residual_a, residual_u, data_misfit
 
 
 def darcy_flow(
@@ -56,27 +84,7 @@ def darcy_flow(
     g_vals = bdy_g if isinstance(bdy_g, jnp.ndarray) else _eval_on(bdy_g, X_boundary)
     data = {"f": f_vals, "g": g_vals, "obs": data_u}
 
-    def split(z):
-        w0, w1, w2 = z[:N_d], z[N_d : 2 * N_d], z[2 * N_d : 3 * N_d]
-        v0, v1, v2 = (
-            z[3 * N_d : 4 * N_d],
-            z[4 * N_d : 5 * N_d],
-            z[5 * N_d : 6 * N_d],
-        )
-        return w0, w1, w2, v0, v1, v2
-
-    def residual_a(z, data):
-        w0, w1, w2, *_ = split(z)
-        return jnp.concatenate([w1, w2, w0])
-
-    def residual_u(z, data):
-        w0, w1, w2, v0, v1, v2 = split(z)
-        lap_u = -v1 * w1 - v2 * w2 - data["f"] * jnp.exp(-w0)
-        return jnp.concatenate([v1, v2, lap_u, v0, data["g"]])
-
-    def data_misfit(z, data):
-        _, _, _, v0, _, _ = split(z)
-        return v0[:N_data] - data["obs"]
+    residual_a, residual_u, data_misfit = _darcy_residuals(N_d, N_data)
 
     obs_a = (
         Observable("domain", d(0)),

@@ -14,6 +14,7 @@ the notebook) squares the right-hand side (``src/PDEs.py:423`` vs
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Callable
 
 import jax
@@ -24,6 +25,16 @@ from ..ops.kernels import SquaredExponential
 from ..ops.operators import d, identity, laplacian
 from .spec import CollocationProblem, GPBlock
 from .elliptic import _eval_on
+
+
+@lru_cache(maxsize=None)
+def _eikonal_residual(eps: float, N_d: int):
+    def residual(z, data):
+        v0, v1, v2 = z[:N_d], z[N_d : 2 * N_d], z[2 * N_d :]
+        lap_u = -(data["f"] ** 2 - v1**2 - v2**2) / eps
+        return jnp.concatenate([v1, v2, lap_u, v0, data["g"]])
+
+    return residual
 
 
 def eikonal(
@@ -43,10 +54,7 @@ def eikonal(
     g_vals = bdy_g if isinstance(bdy_g, jnp.ndarray) else _eval_on(bdy_g, X_boundary)
     data = {"f": f_vals, "g": g_vals}
 
-    def residual(z, data):
-        v0, v1, v2 = z[:N_d], z[N_d : 2 * N_d], z[2 * N_d :]
-        lap_u = -(data["f"] ** 2 - v1**2 - v2**2) / eps
-        return jnp.concatenate([v1, v2, lap_u, v0, data["g"]])
+    residual = _eikonal_residual(float(eps), N_d)
 
     observables = (
         Observable("domain", d(0)),

@@ -15,6 +15,7 @@ consumed by the generic whitened-GN engine - no hand-written linearization.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Callable, Optional
 
 import jax
@@ -30,6 +31,30 @@ def _eval_on(fn: Optional[Callable], X: jnp.ndarray) -> jnp.ndarray:
     if fn is None:
         return jnp.zeros(X.shape[0], dtype=X.dtype)
     return jax.vmap(fn)(X)
+
+
+@lru_cache(maxsize=None)
+def _elliptic_residual(alpha: float, m: int):
+    """Cached so equal configs share one function object - keeps the
+    compiled Gauss-Newton scan's jit cache hot across problem rebuilds."""
+
+    def residual(z, data):
+        # [Delta u; u_int; u_bd] with Delta u eliminated via the PDE
+        return jnp.concatenate([alpha * z**m - data["f"], z, data["g"]])
+
+    return residual
+
+
+@lru_cache(maxsize=None)
+def _elliptic_relaxed_residuals(alpha: float, m: int, N_d: int):
+    def residual(z, data):
+        return jnp.concatenate([z, data["g"]])  # [v; w; g] - linear in z
+
+    def pde_penalty(z, data):
+        v, w = z[:N_d], z[N_d:]
+        return -v + alpha * w**m - data["f"]
+
+    return residual, pde_penalty
 
 
 def nonlinear_elliptic(
@@ -51,9 +76,7 @@ def nonlinear_elliptic(
     g_vals = bdy_g if isinstance(bdy_g, jnp.ndarray) else _eval_on(bdy_g, X_boundary)
     data = {"f": f_vals, "g": g_vals}
 
-    def residual(z, data):
-        # [Delta u; u_int; u_bd] with Delta u eliminated via the PDE
-        return jnp.concatenate([alpha * z**m - data["f"], z, data["g"]])
+    residual = _elliptic_residual(float(alpha), int(m))
 
     observables = (
         Observable("domain", laplacian()),
@@ -100,12 +123,9 @@ def nonlinear_elliptic_relaxed(
     g_vals = bdy_g if isinstance(bdy_g, jnp.ndarray) else _eval_on(bdy_g, X_boundary)
     data = {"f": f_vals, "g": g_vals}
 
-    def residual(z, data):
-        return jnp.concatenate([z, data["g"]])  # [v; w; g] - linear in z
-
-    def pde_penalty(z, data):
-        v, w = z[:N_d], z[N_d:]
-        return -v + alpha * w**m - data["f"]
+    residual, pde_penalty = _elliptic_relaxed_residuals(
+        float(alpha), int(m), N_d
+    )
 
     observables = (
         Observable("domain", laplacian()),

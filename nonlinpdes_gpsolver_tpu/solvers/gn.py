@@ -214,6 +214,102 @@ def factorize(
     return FactoredProblem(problem, factors, inv_factors, scales, col_scales)
 
 
+def _whitened_residual_from(spec, arrays, z):
+    """Rebuild the stacked whitened residual from the hashable structure
+    ``spec`` and the array pytree ``arrays`` (see :func:`_gn_scan`)."""
+    parts = []
+    for name, residual, use_inv, use_scale in spec[0]:
+        v = residual(z, arrays["data"])
+        if use_inv:
+            v = jnp.matmul(
+                arrays["inv"][name], v, precision=jax.lax.Precision.HIGHEST
+            )
+        else:
+            if use_scale:
+                v = v * arrays["scale"][name]
+            v = whiten(arrays["factors"][name], v)
+        parts.append(v)
+    for residual, weight in spec[1]:
+        parts.append(jnp.sqrt(weight) * residual(z, arrays["data"]))
+    return jnp.concatenate(parts)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "spec",
+        "max_iter",
+        "step_size",
+        "hessian_jitter",
+        "step_solver",
+        "cg_tol",
+        "cg_maxiter",
+    ),
+)
+def _gn_scan(
+    arrays,
+    z_init,
+    spec,
+    max_iter,
+    step_size,
+    hessian_jitter,
+    step_solver,
+    cg_tol,
+    cg_maxiter,
+):
+    """The compiled GN loop, cache-keyed on problem *structure* not instance.
+
+    ``spec`` = ((name, residual_fn, use_inv, use_scale) per block,
+    (misfit_fn, weight) per misfit). Residual functions come from
+    ``lru_cache``'d factories in ``models/``, so rebuilding the same problem
+    configuration (fresh points/data, same shapes) reuses the executable -
+    critical on backends where compilation is remote and slow.
+    """
+    n = z_init.shape[0]
+    wr = lambda z: _whitened_residual_from(spec, arrays, z)
+
+    def solve_direct(z, r, jvp):
+        hi = jax.lax.Precision.HIGHEST
+        J = jax.vmap(jvp)(jnp.eye(n, dtype=z.dtype)).T  # (n_resid, n)
+        H = jnp.matmul(J.T, J, precision=hi)
+        g = jnp.matmul(J.T, r, precision=hi)
+        return spd_solve(H, g, jitter=hessian_jitter)
+
+    def solve_cg(z, r, jvp):
+        _, vjp = jax.vjp(wr, z)
+
+        def normal_op(v):
+            hv = vjp(jvp(v))[0]
+            if hessian_jitter:
+                hv = hv + hessian_jitter * v
+            return hv
+
+        g = vjp(r)[0]
+        delta, _ = jax.scipy.sparse.linalg.cg(
+            normal_op, g, tol=cg_tol, maxiter=cg_maxiter
+        )
+        return delta
+
+    inner = solve_cg if step_solver == "cg" else solve_direct
+
+    def step(carry, _):
+        z, ok = carry
+        r, jvp = jax.linearize(wr, z)
+        delta = inner(z, r, jvp)
+        z_new = z - step_size * delta
+        finite = jnp.all(jnp.isfinite(z_new))
+        z_next = jnp.where(finite, z_new, z)
+        ok = jnp.logical_and(ok, finite)
+        r_next = wr(z_next)
+        loss = jnp.dot(r_next, r_next)
+        return (z_next, ok), loss
+
+    (z_final, ok), losses = jax.lax.scan(
+        step, (z_init, jnp.asarray(True)), None, length=max_iter
+    )
+    return z_final, losses, ok
+
+
 def gn_solve(
     fp: FactoredProblem,
     z0: jnp.ndarray | None = None,
@@ -244,44 +340,33 @@ def gn_solve(
     z_init = fp.problem.init_latent() if z0 is None else jnp.asarray(z0)
     dtype = next(iter(fp.factors.values())).dtype
     z_init = z_init.astype(dtype)
-    n = z_init.shape[0]
 
-    def solve_direct(z, r, jvp):
-        hi = jax.lax.Precision.HIGHEST
-        J = jax.vmap(jvp)(jnp.eye(n, dtype=z.dtype)).T  # (n_resid, n)
-        H = jnp.matmul(J.T, J, precision=hi)
-        g = jnp.matmul(J.T, r, precision=hi)
-        return spd_solve(H, g, jitter=hessian_jitter)
-
-    def solve_cg(z, r, jvp):
-        _, vjp = jax.vjp(fp.whitened_residual, z)
-
-        def normal_op(v):
-            hv = vjp(jvp(v))[0]
-            if hessian_jitter:
-                hv = hv + hessian_jitter * v
-            return hv
-
-        g = vjp(r)[0]
-        delta, _ = jax.scipy.sparse.linalg.cg(
-            normal_op, g, tol=cg_tol, maxiter=cg_maxiter
+    p = fp.problem
+    block_spec = tuple(
+        (
+            b.name,
+            b.residual,
+            b.name in fp.inv_factors,
+            b.name in fp.col_scales,
         )
-        return delta
-
-    inner = solve_cg if step_solver == "cg" else solve_direct
-
-    def step(carry, _):
-        z, ok = carry
-        r, jvp = jax.linearize(fp.whitened_residual, z)
-        delta = inner(z, r, jvp)
-        z_new = z - step_size * delta
-        finite = jnp.all(jnp.isfinite(z_new))
-        z_next = jnp.where(finite, z_new, z)
-        ok = jnp.logical_and(ok, finite)
-        loss = fp.loss(z_next)
-        return (z_next, ok), loss
-
-    (z_final, ok), losses = jax.lax.scan(
-        step, (z_init, jnp.asarray(True)), None, length=max_iter
+        for b in p.blocks
+    )
+    misfit_spec = tuple((m.residual, float(m.weight)) for m in p.misfits)
+    arrays = {
+        "factors": dict(fp.factors),
+        "inv": dict(fp.inv_factors),
+        "scale": dict(fp.col_scales),
+        "data": p.data,
+    }
+    z_final, losses, ok = _gn_scan(
+        arrays,
+        z_init,
+        (block_spec, misfit_spec),
+        int(max_iter),
+        float(step_size),
+        float(hessian_jitter),
+        step_solver,
+        float(cg_tol),
+        cg_maxiter,
     )
     return GNState(z=z_final, losses=losses, converged_finite=ok)

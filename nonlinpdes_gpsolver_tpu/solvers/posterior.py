@@ -16,10 +16,16 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
+from functools import partial
+
 from ..models.spec import CollocationProblem
 from ..ops.assembly import cross_gram
 from ..ops.operators import LinearOp, identity
 from .gn import FactoredProblem
+
+# kernel / operator / observables are hashable statics, so repeated posterior
+# queries (and rebuilt same-config problems) reuse one compiled cross-Gram.
+_cross_gram_jit = partial(jax.jit, static_argnums=(0, 1, 3))(cross_gram)
 
 
 class Posterior:
@@ -52,7 +58,7 @@ class Posterior:
         b = p.block(block) if block is not None else p.blocks[0]
         if op is None:
             op = identity(b.kernel.dim)
-        ct = cross_gram(
+        ct = _cross_gram_jit(
             b.kernel, op, jnp.asarray(X_test), b.observables, p.points
         )
         return jnp.matmul(
