@@ -19,7 +19,7 @@ code at all.
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

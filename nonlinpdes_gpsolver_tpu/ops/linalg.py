@@ -17,7 +17,7 @@ Here:
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -89,18 +89,65 @@ def _pad_spd(M: jnp.ndarray, block: int):
     return M.at[idx, idx].set(1.0), n
 
 
+def unblocked_cholesky(A: jnp.ndarray) -> jnp.ndarray:
+    """Column-by-column Cholesky using only elementwise VPU ops + rank-1
+    updates - full working-precision accuracy with no opaque internals.
+
+    Used for the B x B diagonal blocks of :func:`blocked_cholesky`: on TPU
+    even the native small-block ``cholesky`` loses enough precision on
+    near-singular Schur complements to flip tiny pivots negative.
+    """
+    B = A.shape[0]
+    rows = jnp.arange(B)
+
+    def body(j, A):
+        pivot = jnp.sqrt(A[j, j])
+        col = jnp.where(rows > j, A[:, j] / pivot, 0.0)
+        A = A - col[:, None] * col[None, :]
+        A = A.at[:, j].set(jnp.where(rows > j, col, A[:, j]))
+        A = A.at[j, j].set(pivot)
+        return A
+
+    return jnp.tril(lax.fori_loop(0, B, body, A))
+
+
+def unblocked_trsm_lower(L: jnp.ndarray, V: jnp.ndarray) -> jnp.ndarray:
+    """Row-by-row forward substitution ``L^{-1} V`` with precision-controlled
+    matvecs (the B x B panel-solve primitive of the blocked algorithms)."""
+
+    def body(i, Y):
+        prod = jnp.matmul(L[i], Y, precision=jax.lax.Precision.HIGHEST)
+        return Y.at[i].set((V[i] - prod) / L[i, i])
+
+    return lax.fori_loop(0, L.shape[0], body, jnp.zeros_like(V))
+
+
+def unblocked_trsm_lower_t(L: jnp.ndarray, V: jnp.ndarray) -> jnp.ndarray:
+    """Backward substitution ``L^{-T} V`` (row-sequential, precision-safe)."""
+    B = L.shape[0]
+
+    def body(t, Y):
+        i = B - 1 - t
+        # rows > i of Y are solved; row i is still zero, L[i:, i] below picks
+        # exactly the solved suffix
+        prod = jnp.matmul(L[:, i], Y, precision=jax.lax.Precision.HIGHEST)
+        return Y.at[i].set((V[i] - prod) / L[i, i])
+
+    return lax.fori_loop(0, B, body, jnp.zeros_like(V))
+
+
 @partial(jax.jit, static_argnums=(1,))
 def blocked_cholesky(M: jnp.ndarray, block: int = 256) -> jnp.ndarray:
-    """Right-looking blocked Cholesky with precision-controlled matmuls.
+    """Right-looking blocked Cholesky with fully precision-controlled math.
 
     XLA's native ``cholesky`` on TPU runs its internal dots at the default
     (bfloat16-pass) matmul precision and - on the backends we target -
     ignores ``jax_default_matmul_precision``, which NaNs on the
     ill-conditioned Gram matrices this solver produces (verified: a matrix
-    that factors fine in f32 on CPU NaNs on TPU). This implementation keeps
-    the O(n^3) trailing updates in explicit ``Precision.HIGHEST`` matmuls;
-    only the B x B diagonal factorizations use the native op, where the
-    precision loss cannot accumulate.
+    that factors fine in f32 on CPU NaNs on TPU). Here every operation is
+    explicit: VPU rank-1 diagonal-block factorization, row-sequential panel
+    solves, and ``Precision.HIGHEST`` MXU matmuls for the O(n^3) trailing
+    updates.
     """
     M, n = _pad_spd(M, block)
     n_pad = M.shape[0]
@@ -110,9 +157,9 @@ def blocked_cholesky(M: jnp.ndarray, block: int = 256) -> jnp.ndarray:
     def body(k, M):
         kB = k * B
         Akk = lax.dynamic_slice(M, (kB, kB), (B, B))
-        Lkk = jnp.linalg.cholesky(Akk)
+        Lkk = unblocked_cholesky(Akk)
         col = lax.dynamic_slice(M, (0, kB), (n_pad, B))
-        Lcol = solve_triangular(Lkk, col.T, lower=True).T  # (n_pad, B)
+        Lcol = unblocked_trsm_lower(Lkk, col.T).T  # (n_pad, B)
         rows_below = jnp.arange(n_pad) >= kB + B
         Lcol = jnp.where(rows_below[:, None], Lcol, 0.0)
         # write the finished panel column: diagonal block + below-diagonal
@@ -149,7 +196,7 @@ def blocked_trsm(L: jnp.ndarray, V: jnp.ndarray, block: int = 256) -> jnp.ndarra
         prod = jnp.matmul(row, Y, precision=jax.lax.Precision.HIGHEST)
         Lkk = lax.dynamic_slice(L, (kB, kB), (B, B))
         rhs = lax.dynamic_slice(V, (kB, 0), (B, V.shape[1])) - prod
-        yk = solve_triangular(Lkk, rhs, lower=True)
+        yk = unblocked_trsm_lower(Lkk, rhs)
         return lax.dynamic_update_slice(Y, yk, (kB, 0))
 
     Y = lax.fori_loop(0, nb, body, jnp.zeros_like(V))

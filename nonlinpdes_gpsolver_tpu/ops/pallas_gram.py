@@ -25,9 +25,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from .kernels import SquaredExponential, _derivative_poly_coeffs, exp_neg_accurate
 from .operators import LinearOp

@@ -33,7 +33,6 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +41,12 @@ from jax import lax
 from jax import shard_map
 from jax.scipy.linalg import solve_triangular
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.linalg import (
+    unblocked_cholesky,
+    unblocked_trsm_lower,
+    unblocked_trsm_lower_t,
+)
 
 
 def pad_to_blocks(n: int, block: int, n_dev: int) -> int:
@@ -127,12 +132,14 @@ def _chol_kernel(local, *, nb: int, B: int, P_: int, axis: str):
         cand_row = lax.dynamic_index_in_dim(local, slot, 0, keepdims=False)
         diag_cand = lax.dynamic_slice(cand_row, (0, kB), (B, B))
         A_kk = lax.all_gather(diag_cand, axis)[owner]
-        L_kk = jnp.linalg.cholesky(A_kk)
+        # precision-true small factorization + panel solve (native TPU
+        # cholesky/TRSM internals lose bf16-level precision, see ops.linalg)
+        L_kk = unblocked_cholesky(A_kk)
 
         colk = lax.dynamic_slice(local, (0, 0, kB), (nbl, B, B))
         # L_ik = A_ik L_kk^{-T}  (TRSM from the right)
         Lcol = jax.vmap(
-            lambda Aik: solve_triangular(L_kk, Aik.T, lower=True).T
+            lambda Aik: unblocked_trsm_lower(L_kk, Aik.T).T
         )(colk)
         below = (g_idx > k)[:, None, None]
         diag_here = (g_idx == k)[:, None, None]
@@ -206,7 +213,7 @@ def _trsm_kernel(localL, V, *, nb: int, B: int, P_: int, axis: str):
         prod = jnp.matmul(row, Y, precision=jax.lax.Precision.HIGHEST)
         rhs = lax.dynamic_slice(V, (kB, 0), (B, V.shape[1])) - prod
         L_kk = lax.dynamic_slice(row, (0, kB), (B, B))
-        yk = solve_triangular(L_kk, rhs, lower=True)
+        yk = unblocked_trsm_lower(L_kk, rhs)
         return lax.dynamic_update_slice(Y, yk, (kB, 0))
 
     return lax.fori_loop(0, nb, body, jnp.zeros_like(V))
@@ -246,7 +253,7 @@ def _trsm_t_kernel(localL, V, *, nb: int, B: int, P_: int, axis: str):
         cand = lax.dynamic_slice(localL, (slot, 0, kB), (1, B, B))[0]
         L_kk = lax.all_gather(cand, axis)[owner]
         rhs = lax.dynamic_slice(V, (kB, 0), (B, m)) - total
-        yk = solve_triangular(L_kk, rhs, lower=True, trans=1)
+        yk = unblocked_trsm_lower_t(L_kk, rhs)
         return lax.dynamic_update_slice(Y, yk, (kB, 0))
 
     return lax.fori_loop(0, nb, body, jnp.zeros_like(V))

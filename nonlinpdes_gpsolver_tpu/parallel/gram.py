@@ -13,11 +13,10 @@ single device beyond what XLA chooses to fuse.
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.assembly import adaptive_nugget_diag, gram_matrix, observable_sizes
@@ -39,7 +38,13 @@ def _assemble_arranged(
     sizes = observable_sizes(observables, points)
     nug = adaptive_nugget_diag(theta, observables, sizes, nugget, nugget_type)
     theta = theta + jnp.diag(nug)
+    # diagonal equilibration (same convention as the single-device
+    # factorize): factor the unit-diagonal matrix, return d^{-1/2} so the
+    # solvers can fold the scale into whitening - fp32-critical.
+    d_isqrt = jax.lax.rsqrt(jnp.diagonal(theta))
+    theta = theta * (d_isqrt[:, None] * d_isqrt[None, :])
     n = theta.shape[0]
+    theta = theta.at[jnp.arange(n), jnp.arange(n)].set(1.0)
     P_ = mesh.shape[axis]
     n_pad = pad_to_blocks(n, block, P_)
     if n_pad > n:
@@ -50,9 +55,10 @@ def _assemble_arranged(
         ].set(jnp.ones(pad, dtype=theta.dtype))
     nb = n_pad // block
     arranged = theta.reshape(nb, block, n_pad)[_block_perm(nb, P_)]
-    return jax.lax.with_sharding_constraint(
+    arranged = jax.lax.with_sharding_constraint(
         arranged, NamedSharding(mesh, P(axis, None, None))
     )
+    return arranged, d_isqrt
 
 
 def assemble_gram_sharded(
@@ -65,7 +71,8 @@ def assemble_gram_sharded(
     nugget: float = 1e-10,
     nugget_type: str = "adaptive",
 ) -> jax.Array:
-    """Regularized Gram matrix in sharded block-cyclic (nb, B, n_pad) layout."""
+    """Equilibrated regularized Gram matrix in sharded block-cyclic
+    (nb, B, n_pad) layout, plus the ``d^{-1/2}`` equilibration vector."""
     pts = {k: jnp.asarray(v) for k, v in points.items()}
     return _assemble_arranged(
         kernel, tuple(observables), pts, nugget_type, nugget, mesh, axis, block

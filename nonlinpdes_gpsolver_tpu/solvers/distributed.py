@@ -43,11 +43,20 @@ from .gn import GNState
 class DistributedFactoredProblem:
     problem: CollocationProblem
     factors: Dict[str, BlockCyclicFactor]
+    col_scales: Dict[str, jnp.ndarray] = dataclasses.field(default_factory=dict)
+
+    def _scale(self, name: str, v: jnp.ndarray) -> jnp.ndarray:
+        s = self.col_scales.get(name)
+        if s is None:
+            return v
+        return v * (s if v.ndim == 1 else s[:, None])
 
     def whitened_residual(self, z: jnp.ndarray) -> jnp.ndarray:
         p = self.problem
         parts = [
-            trsm_blockcyclic(self.factors[b.name], b.residual(z, p.data))
+            trsm_blockcyclic(
+                self.factors[b.name], self._scale(b.name, b.residual(z, p.data))
+            )
             for b in p.blocks
         ]
         for m in p.misfits:
@@ -68,8 +77,9 @@ def factorize_distributed(
     block: int = 256,
 ) -> DistributedFactoredProblem:
     factors = {}
+    col_scales = {}
     for b in problem.blocks:
-        arranged = assemble_gram_sharded(
+        arranged, d_isqrt = assemble_gram_sharded(
             b.kernel, b.observables, problem.points, mesh,
             axis=axis, block=block, nugget=nugget, nugget_type=nugget_type,
         )
@@ -79,7 +89,8 @@ def factorize_distributed(
             local=local, mesh=mesh, axis=axis, block=block,
             n=n, n_pad=local.shape[0] * block,
         )
-    return DistributedFactoredProblem(problem, factors)
+        col_scales[b.name] = d_isqrt
+    return DistributedFactoredProblem(problem, factors, col_scales)
 
 
 def gn_step_distributed(
@@ -95,7 +106,7 @@ def gn_step_distributed(
     for b in p.blocks:
         F = b.residual(z, p.data)
         JF = jax.jacfwd(lambda zz: b.residual(zz, p.data))(z)  # (n_b, m)
-        rhs = jnp.concatenate([F[:, None], JF], axis=1)
+        rhs = fp._scale(b.name, jnp.concatenate([F[:, None], JF], axis=1))
         sol = trsm_blockcyclic(fp.factors[b.name], rhs)
         parts_r.append(sol[:, 0])
         parts_J.append(sol[:, 1:])
@@ -123,8 +134,12 @@ class DistributedPosterior:
         self.z_star = jnp.asarray(z_star)
         p = fp.problem
         self._weights = {
-            b.name: kernel_solve_blockcyclic(
-                fp.factors[b.name], b.residual(self.z_star, p.data)
+            b.name: fp._scale(
+                b.name,
+                kernel_solve_blockcyclic(
+                    fp.factors[b.name],
+                    fp._scale(b.name, b.residual(self.z_star, p.data)),
+                ),
             )
             for b in p.blocks
         }

@@ -18,7 +18,6 @@ import jax.numpy as jnp
 
 from functools import partial
 
-from ..models.spec import CollocationProblem
 from ..ops.assembly import cross_gram
 from ..ops.operators import LinearOp, identity
 from .gn import FactoredProblem

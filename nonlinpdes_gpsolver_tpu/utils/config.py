@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 
 @dataclasses.dataclass

@@ -13,7 +13,6 @@ import time
 from contextlib import contextmanager
 from typing import Dict
 
-import jax.numpy as jnp
 import numpy as np
 
 

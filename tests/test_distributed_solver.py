@@ -35,15 +35,20 @@ def test_sharded_assembly_matches_dense(eight_devices):
     prob, _ = _elliptic_problem()
     mesh = make_mesh(8)
     b = prob.blocks[0]
-    arranged = assemble_gram_sharded(
+    arranged, d_isqrt = assemble_gram_sharded(
         b.kernel, b.observables, prob.points, mesh, block=16, nugget=1e-9
     )
     got = unshard_rows_blockcyclic(arranged, mesh, "p", 16, n=2 * 150 + 40)
     theta = gram_matrix(b.kernel, b.observables, prob.points)
     sizes = observable_sizes(b.observables, prob.points)
     nug = adaptive_nugget_diag(theta, b.observables, sizes, 1e-9, "adaptive")
-    ref = np.asarray(theta + jnp.diag(nug))
-    np.testing.assert_allclose(got, ref, rtol=1e-9)
+    M = np.asarray(theta + jnp.diag(nug))
+    d = np.asarray(d_isqrt)
+    ref = M * np.outer(d, d)  # sharded assembly is equilibrated
+    np.fill_diagonal(ref, 1.0)
+    np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-12)
+    # and the scale itself is the matrix diagonal
+    np.testing.assert_allclose(d, 1.0 / np.sqrt(np.diag(M)), rtol=1e-12)
 
 
 def test_distributed_elliptic_matches_single_device(eight_devices):
