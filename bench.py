@@ -29,7 +29,15 @@ BASELINE_L2 = 3.402e-3
 
 
 def main():
+    import os
+
     import jax
+
+    # Persistent compile cache: the tunneled-TPU compile service is slow
+    # (minutes per novel executable); cached executables load in seconds.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     on_tpu = jax.default_backend() not in ("cpu",)
     if not on_tpu:

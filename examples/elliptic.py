@@ -25,6 +25,12 @@ def main():
     add_config_args(parser, defaults)
     parser.add_argument("--alpha", type=float, default=1.0)
     parser.add_argument("--m", type=int, default=3)
+    parser.add_argument(
+        "--mesh", type=int, default=0,
+        help="solve on an N-device mesh (sharded assembly + distributed "
+             "Cholesky); 0 = single-device engine",
+    )
+    parser.add_argument("--mesh_block", type=int, default=256)
     args = parser.parse_args()
     cfg = config_from_args(args)
     apply_runtime(cfg)
@@ -59,20 +65,41 @@ def main():
             kernel, Xd, Xb, rhs_f, u_truth, alpha=args.alpha, m=args.m,
             init=cfg.initial, seed=cfg.seed,
         )
-    solver = gpt.GPSolver(prob, nugget=cfg.nugget, nugget_type=cfg.nugget_type)
-    res = solver.solve(max_iter=cfg.GNsteps, step_size=cfg.step_size)
-    print(f"[GN] losses: {res.losses}")
+    if args.mesh:
+        from nonlinpdes_gpsolver_tpu.parallel import make_mesh
+        from nonlinpdes_gpsolver_tpu.solvers import (
+            DistributedPosterior, factorize_distributed, gn_solve_distributed,
+        )
+
+        mesh = make_mesh(args.mesh)
+        dfp = factorize_distributed(
+            prob, mesh, nugget=cfg.nugget, nugget_type=cfg.nugget_type,
+            block=args.mesh_block,
+        )
+        state = gn_solve_distributed(
+            dfp, max_iter=cfg.GNsteps, step_size=cfg.step_size
+        )
+        posterior = DistributedPosterior(dfp, state.z)
+        losses = np.asarray(state.losses)
+        z = state.z
+        print(f"[GN/distributed x{args.mesh}] losses: {losses}")
+    else:
+        solver = gpt.GPSolver(prob, nugget=cfg.nugget, nugget_type=cfg.nugget_type)
+        res = solver.solve(max_iter=cfg.GNsteps, step_size=cfg.step_size)
+        posterior = res.posterior
+        z = res.z
+        print(f"[GN] losses: {res.losses}")
+        print(f"[Timers] {res.timers}")
 
     # collocation error uses the u-component of the latent
-    z_u = res.z if cfg.method != "relaxation" else res.z[cfg.N_domain:]
+    z_u = z if cfg.method != "relaxation" else z[cfg.N_domain:]
     errc = gpt.GPSolver.errors(z_u, jax.vmap(u_truth)(Xd))
     print(f"[Collocation error] max {errc.max:.4e}  L2 {errc.l2:.4e}")
 
     Xt = gpt.utils.test_grid(60, 60)
-    pred = res.posterior.extend(Xt)
+    pred = posterior.extend(Xt)
     errt = gpt.GPSolver.errors(pred, jax.vmap(u_truth)(Xt))
     print(f"[Test error] max {errt.max:.4e}  L2 {errt.l2:.4e}")
-    print(f"[Timers] {res.timers}")
 
     if cfg.show_figure:
         from nonlinpdes_gpsolver_tpu.utils.plotting import contour_error

@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Performance harness: per-phase wall-clock + TFLOP/s for the elliptic
+workload at one or more sizes (the SURVEY.md section 6 north-star metrics:
+assembly / Cholesky TFLOP/s per chip, GN iterations per second).
+
+  python examples/perf_report.py --sizes 900 4000 10000 --warm
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--sizes", type=int, nargs="+", default=[900, 2000])
+    parser.add_argument("--gn_steps", type=int, default=4)
+    parser.add_argument("--nugget", type=float, default=1e-5)
+    parser.add_argument("--platform", type=str, default=None)
+    parser.add_argument("--x64", action=argparse.BooleanOptionalAction, default=False)
+    parser.add_argument(
+        "--warm", action="store_true",
+        help="run each size twice and report the second (compile-free) pass",
+    )
+    args = parser.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_enable_x64", bool(args.x64))
+    import jax.numpy as jnp
+    import nonlinpdes_gpsolver_tpu as gpt
+    from nonlinpdes_gpsolver_tpu.solvers import Posterior, factorize, gn_solve
+    from nonlinpdes_gpsolver_tpu.utils.profiling import flop_model, tflops
+
+    def u_truth(x):
+        return jnp.sin(jnp.pi * x[0]) * jnp.sin(jnp.pi * x[1]) + 2 * jnp.sin(
+            4 * jnp.pi * x[0]
+        ) * jnp.sin(4 * jnp.pi * x[1])
+
+    def rhs_f(x):
+        return -jnp.trace(jax.hessian(u_truth)(x)) + u_truth(x) ** 3
+
+    kernel = gpt.SquaredExponential.gaussian(0.2)
+    Xt = gpt.utils.test_grid(60, 60)
+    truth = jax.vmap(u_truth)(Xt)
+    print(f"backend={jax.default_backend()} x64={args.x64}")
+    print(
+        f"{'N':>7} {'factor_s':>9} {'gn_s':>8} {'post_s':>8} "
+        f"{'chol_TF/s':>10} {'gn_TF/s':>9} {'gn_it/s':>8} {'test_L2':>10}"
+    )
+
+    for N in args.sizes:
+        Nb = max(4, N // 8)
+
+        def run(seed):
+            Xd, Xb = gpt.utils.sample_random(jax.random.PRNGKey(seed), N, Nb)
+            prob = gpt.models.nonlinear_elliptic(
+                kernel, Xd, Xb, rhs_f, u_truth, seed=seed + 1
+            )
+            t0 = time.perf_counter()
+            fp = factorize(prob, nugget=args.nugget)
+            t1 = time.perf_counter()
+            st = gn_solve(fp, max_iter=args.gn_steps)
+            st.z.block_until_ready()
+            t2 = time.perf_counter()
+            pred = Posterior(fp, st.z).extend(Xt)
+            pred.block_until_ready()
+            t3 = time.perf_counter()
+            return prob, (t1 - t0, t2 - t1, t3 - t2), gpt.GPSolver.errors(pred, truth)
+
+        prob, ts, err = run(0)
+        if args.warm:
+            prob, ts, err = run(1)
+        fm = flop_model(prob, gn_iters=args.gn_steps)
+        print(
+            f"{N:>7} {ts[0]:>9.3f} {ts[1]:>8.3f} {ts[2]:>8.3f} "
+            f"{tflops(fm['cholesky'], ts[0]):>10.2f} "
+            f"{tflops(fm['gn_total'], ts[1]):>9.2f} "
+            f"{args.gn_steps / ts[1]:>8.1f} {err.l2:>10.3e}"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -33,6 +33,12 @@ def make_mesh(
     devs = jax.devices()
     if n_devices is None:
         n_devices = len(devs)
+    if n_devices > len(devs):
+        raise ValueError(
+            f"requested a {n_devices}-device mesh but only {len(devs)} "
+            f"devices are visible (platform {jax.default_backend()!r}; on "
+            "CPU set XLA_FLAGS=--xla_force_host_platform_device_count=N)"
+        )
     devs = devs[:n_devices]
     if shape is None:
         shape = (n_devices,)

@@ -162,16 +162,24 @@ def gn_solve_distributed(
     max_iter: int = 8,
     step_size: float = 1.0,
 ) -> GNState:
+    """The full GN loop as one compiled ``lax.scan`` over distributed steps
+    (one executable launch for the whole iteration, like the single-device
+    path; each step's TRSMs run the shard_map collectives)."""
     z = fp.problem.init_latent() if z0 is None else jnp.asarray(z0)
     dtype = next(iter(fp.factors.values())).local.dtype
     z = z.astype(dtype)
-    losses = []
-    ok = True
-    for _ in range(max_iter):
-        z = gn_step_distributed(fp, z, step_size=step_size)
-        losses.append(fp.loss(z))
+
+    @jax.jit
+    def run(z):
+        def step(zc, _):
+            z_new = gn_step_distributed(fp, zc, step_size=step_size)
+            return z_new, fp.loss(z_new)
+
+        return jax.lax.scan(step, z, None, length=max_iter)
+
+    z_final, losses = run(z)
     return GNState(
-        z=z,
-        losses=jnp.stack(losses),
-        converged_finite=jnp.asarray(ok),
+        z=z_final,
+        losses=losses,
+        converged_finite=jnp.all(jnp.isfinite(losses)),
     )

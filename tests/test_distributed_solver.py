@@ -111,3 +111,32 @@ def test_distributed_posterior_matches_single_device(eight_devices):
     truth = jax.vmap(u_truth)(Xt)
     err = np.abs(np.asarray(dpost.extend(Xt)) - np.asarray(truth))
     assert np.sqrt((err**2).mean()) < 1e-3
+
+
+def test_distributed_f32_equilibrated(eight_devices):
+    """fp32 distributed solve must work via equilibration (it NaN'd without,
+    see commit history)."""
+    prob, u_truth = _elliptic_problem()
+    mesh = make_mesh(8)
+    import jax as _jax
+
+    _jax.config.update("jax_enable_x64", False)
+    try:
+        Xd32 = jnp.asarray(np.asarray(prob.points["domain"]), dtype=jnp.float32)
+        Xb32 = jnp.asarray(np.asarray(prob.points["boundary"]), dtype=jnp.float32)
+
+        def rhs_f(x):
+            return -jnp.trace(jax.hessian(u_truth)(x)) + u_truth(x) ** 3
+
+        k32 = gpt.SquaredExponential.gaussian(0.3)
+        prob32 = gpt.models.nonlinear_elliptic(k32, Xd32, Xb32, rhs_f, u_truth, seed=1)
+        dfp = factorize_distributed(prob32, mesh, nugget=1e-6, block=16)
+        st = gn_solve_distributed(dfp, max_iter=4)
+        from nonlinpdes_gpsolver_tpu.solvers.distributed import DistributedPosterior
+
+        post = DistributedPosterior(dfp, st.z)
+        Xt = gpt.utils.test_grid(15, 15)
+        err = gpt.GPSolver.errors(post.extend(Xt), jax.vmap(u_truth)(Xt))
+        assert np.isfinite(err.l2) and err.l2 < 1e-3, err
+    finally:
+        _jax.config.update("jax_enable_x64", True)
