@@ -209,6 +209,129 @@ def blocked_tri_inverse(L: jnp.ndarray, block: int = 256) -> jnp.ndarray:
     return blocked_trsm(L, eye, block)
 
 
+# ---------------------------------------------------------------------------
+# Recursive (divide-and-conquer) factorizations.
+#
+# The fori_loop-based blocked algorithms above update the *full* padded
+# matrix every panel step (shapes under jit must be static), costing ~n^3
+# multiply-adds where the textbook right-looking algorithm needs n^3/3.
+# Recursion over halves gives static shapes at every level with the optimal
+# flop count and large square matmuls - the shape the MXU wants. Depth is
+# log2(n/leaf) (~7 at n=20k), so the unrolled XLA graph stays small.
+# All matmuls run at Precision.HIGHEST for the same fp32-robustness reasons
+# as :func:`blocked_cholesky` (TPU-native cholesky/TRSM run internal dots at
+# bf16-pass precision and NaN on ill-conditioned Gram matrices).
+# ---------------------------------------------------------------------------
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _split(n: int, leaf: int) -> int:
+    """Split point: half of the leaf-blocks, rounded up (n % leaf == 0)."""
+    nb = n // leaf
+    return (nb - nb // 2) * leaf
+
+
+def _trsm_rec(L: jnp.ndarray, V: jnp.ndarray, leaf: int) -> jnp.ndarray:
+    """``L^{-1} V`` (lower-tri L, multi-RHS), recursive halving."""
+    n = L.shape[0]
+    if n <= leaf:
+        return unblocked_trsm_lower(L, V)
+    h = _split(n, leaf)
+    Y1 = _trsm_rec(L[:h, :h], V[:h], leaf)
+    rhs2 = V[h:] - jnp.matmul(L[h:, :h], Y1, precision=_HI)
+    Y2 = _trsm_rec(L[h:, h:], rhs2, leaf)
+    return jnp.concatenate([Y1, Y2], axis=0)
+
+
+def _trsm_t_rec(L: jnp.ndarray, V: jnp.ndarray, leaf: int) -> jnp.ndarray:
+    """``L^{-T} V`` (lower-tri L, multi-RHS), recursive halving."""
+    n = L.shape[0]
+    if n <= leaf:
+        return unblocked_trsm_lower_t(L, V)
+    h = _split(n, leaf)
+    Y2 = _trsm_t_rec(L[h:, h:], V[h:], leaf)
+    rhs1 = V[:h] - jnp.matmul(L[h:, :h].T, Y2, precision=_HI)
+    Y1 = _trsm_t_rec(L[:h, :h], rhs1, leaf)
+    return jnp.concatenate([Y1, Y2], axis=0)
+
+
+def _cholesky_rec(A: jnp.ndarray, leaf: int) -> jnp.ndarray:
+    n = A.shape[0]
+    if n <= leaf:
+        return unblocked_cholesky(A)
+    h = _split(n, leaf)
+    L11 = _cholesky_rec(A[:h, :h], leaf)
+    # L21 = A21 L11^{-T}  <=>  L21^T = L11^{-1} A21^T
+    L21 = _trsm_rec(L11, A[:h, h:], leaf).T
+    S = A[h:, h:] - jnp.matmul(L21, L21.T, precision=_HI)
+    L22 = _cholesky_rec(S, leaf)
+    top = jnp.concatenate([L11, jnp.zeros((h, n - h), dtype=A.dtype)], axis=1)
+    bot = jnp.concatenate([L21, L22], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def _tri_inverse_rec(L: jnp.ndarray, leaf: int) -> jnp.ndarray:
+    """``L^{-1}`` via  inv([[L11,0],[L21,L22]]) = [[M11,0],[-M22 L21 M11, M22]]."""
+    n = L.shape[0]
+    if n <= leaf:
+        return unblocked_trsm_lower(L, jnp.eye(n, dtype=L.dtype))
+    h = _split(n, leaf)
+    M11 = _tri_inverse_rec(L[:h, :h], leaf)
+    M22 = _tri_inverse_rec(L[h:, h:], leaf)
+    M21 = -jnp.matmul(
+        M22, jnp.matmul(L[h:, :h], M11, precision=_HI), precision=_HI
+    )
+    top = jnp.concatenate([M11, jnp.zeros((h, n - h), dtype=L.dtype)], axis=1)
+    bot = jnp.concatenate([M21, M22], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def recursive_cholesky(M: jnp.ndarray, leaf: int = 256) -> jnp.ndarray:
+    """Precision-controlled Cholesky at the textbook n^3/3 flop count.
+
+    Drop-in replacement for :func:`blocked_cholesky` (same padding contract,
+    same VPU leaf factorization), but the trailing updates touch only the
+    trailing submatrix: ~3x fewer multiply-adds and square matmul shapes.
+    """
+    M, n = _pad_spd(M, leaf)
+    return _cholesky_rec(M, leaf)[:n, :n]
+
+
+def _pad_tri(L: jnp.ndarray, block: int):
+    n = L.shape[0]
+    n_pad = ((n + block - 1) // block) * block
+    if n_pad == n:
+        return L, n
+    pad = n_pad - n
+    L = jnp.pad(L, ((0, pad), (0, pad)))
+    idx = jnp.arange(n, n_pad)
+    return L.at[idx, idx].set(1.0), n
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def recursive_trsm(
+    L: jnp.ndarray, V: jnp.ndarray, trans: bool = False, leaf: int = 256
+) -> jnp.ndarray:
+    """``L^{-1} V`` (or ``L^{-T} V`` with ``trans``), recursive halving."""
+    squeeze = V.ndim == 1
+    if squeeze:
+        V = V[:, None]
+    L, n = _pad_tri(L, leaf)
+    if L.shape[0] > n:
+        V = jnp.pad(V, ((0, L.shape[0] - n), (0, 0)))
+    Y = (_trsm_t_rec if trans else _trsm_rec)(L, V, leaf)[:n]
+    return Y[:, 0] if squeeze else Y
+
+
+@partial(jax.jit, static_argnums=(1,))
+def recursive_tri_inverse(L: jnp.ndarray, leaf: int = 256) -> jnp.ndarray:
+    """``L^{-1}`` at the optimal flop count with MXU-friendly shapes."""
+    L, n = _pad_tri(L, leaf)
+    return _tri_inverse_rec(L, leaf)[:n, :n]
+
+
 def spd_solve(H: jnp.ndarray, g: jnp.ndarray, jitter: float = 0.0) -> jnp.ndarray:
     """Solve the SPD Gauss-Newton system ``H x = g`` by Cholesky.
 

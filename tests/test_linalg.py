@@ -1,0 +1,93 @@
+"""Parity tests for the precision-controlled dense linalg substrate.
+
+Covers the fori_loop blocked algorithms and the recursive (divide-and-
+conquer) variants used on TPU, against numpy/LAPACK ground truth, at odd
+(non-tile-multiple) sizes and for both vector and multi-RHS shapes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nonlinpdes_gpsolver_tpu.ops.linalg import (
+    blocked_cholesky,
+    blocked_trsm,
+    recursive_cholesky,
+    recursive_tri_inverse,
+    recursive_trsm,
+    unblocked_cholesky,
+)
+
+
+def _rand_spd(n, seed=0, cond=1e4):
+    rng = np.random.default_rng(seed)
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    eigs = np.logspace(0, -np.log10(cond), n)
+    return (Q * eigs) @ Q.T
+
+
+@pytest.mark.parametrize("n", [1, 7, 64, 129, 300])
+def test_recursive_cholesky_matches_lapack(n):
+    A = _rand_spd(n, seed=n)
+    L_ref = np.linalg.cholesky(A)
+    L = recursive_cholesky(jnp.asarray(A), leaf=64)
+    np.testing.assert_allclose(np.asarray(L), L_ref, rtol=2e-6, atol=2e-9)
+
+
+@pytest.mark.parametrize("n", [64, 129, 300])
+def test_recursive_matches_blocked(n):
+    A = _rand_spd(n, seed=n + 1)
+    Lb = blocked_cholesky(jnp.asarray(A), 64)
+    Lr = recursive_cholesky(jnp.asarray(A), leaf=64)
+    np.testing.assert_allclose(np.asarray(Lr), np.asarray(Lb), rtol=5e-6, atol=1e-8)
+
+
+@pytest.mark.parametrize("n,m", [(7, 3), (129, 5), (300, 300)])
+@pytest.mark.parametrize("trans", [False, True])
+def test_recursive_trsm(n, m, trans):
+    A = _rand_spd(n, seed=n + m)
+    L = np.linalg.cholesky(A)
+    V = np.random.default_rng(n * m).standard_normal((n, m))
+    from scipy.linalg import solve_triangular as st
+
+    ref = st(L, V, lower=True, trans=1 if trans else 0)
+    got = recursive_trsm(jnp.asarray(L), jnp.asarray(V), trans, 64)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=3e-5, atol=1e-7)
+    # vector RHS keeps its rank
+    got1 = recursive_trsm(jnp.asarray(L), jnp.asarray(V[:, 0]), trans, 64)
+    assert got1.shape == (n,)
+    np.testing.assert_allclose(np.asarray(got1), ref[:, 0], rtol=3e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("n", [7, 64, 129, 300])
+def test_recursive_tri_inverse(n):
+    A = _rand_spd(n, seed=2 * n)
+    L = np.linalg.cholesky(A)
+    Minv = recursive_tri_inverse(jnp.asarray(L), 64)
+    np.testing.assert_allclose(
+        np.asarray(Minv) @ L, np.eye(n), rtol=0, atol=5e-5
+    )
+
+
+def test_blocked_trsm_matches_recursive():
+    n, m = 200, 16
+    A = _rand_spd(n, seed=5)
+    L = jnp.asarray(np.linalg.cholesky(A))
+    V = jnp.asarray(np.random.default_rng(6).standard_normal((n, m)))
+    np.testing.assert_allclose(
+        np.asarray(blocked_trsm(L, V, 64)),
+        np.asarray(recursive_trsm(L, V, False, 64)),
+        rtol=3e-6,
+        atol=1e-8,
+    )
+
+
+def test_unblocked_cholesky_f64_exact():
+    # conftest enables x64 globally, so this exercises the f64 path
+    A = jnp.asarray(_rand_spd(50, seed=9))
+    assert A.dtype == jnp.float64
+    L = unblocked_cholesky(A)
+    np.testing.assert_allclose(
+        np.asarray(L), np.linalg.cholesky(np.asarray(A)), rtol=1e-12, atol=1e-14
+    )
