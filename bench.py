@@ -95,6 +95,8 @@ def main():
                 "value": round(seconds, 4),
                 "unit": "s",
                 "vs_baseline": round(REF_SECONDS / seconds, 2),
+                "test_l2": float(f"{err.l2:.4e}"),
+                "accuracy_gate": BASELINE_L2,
             }
         )
     )

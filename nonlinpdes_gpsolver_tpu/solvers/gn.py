@@ -46,9 +46,10 @@ from ..ops.assembly import (
     observable_sizes,
 )
 from ..ops.linalg import (
-    blocked_cholesky,
-    blocked_tri_inverse,
     cholesky_with_retry,
+    newton_refine_tri_inverse,
+    recursive_cholesky,
+    recursive_tri_inverse,
     spd_solve,
     tri_inverse,
     whiten,
@@ -147,15 +148,17 @@ class GNState(NamedTuple):
 def _equilibrated_cholesky(theta, nug_diag, s, use_blocked=False):
     """Factor ``D^{-1/2} (theta + s*diag(nug)) D^{-1/2}`` (unit diagonal).
 
-    ``use_blocked`` selects the precision-controlled blocked factorization
-    (:func:`..ops.linalg.blocked_cholesky`) - required on TPU, where XLA's
-    native cholesky runs internal dots at bf16-pass precision.
+    ``use_blocked`` selects the precision-controlled recursive factorization
+    (:func:`..ops.linalg.recursive_cholesky`) - required on TPU, where XLA's
+    native cholesky runs internal dots at bf16-pass precision. (Measured on
+    a v5e at n=8192: recursive 93 ms vs full-width blocked 131 ms, maxdiff
+    7e-7.)
     """
     d = jnp.diagonal(theta) + s * nug_diag
     d_isqrt = jax.lax.rsqrt(d)
     M = theta * (d_isqrt[:, None] * d_isqrt[None, :])
     M = M.at[jnp.arange(theta.shape[0]), jnp.arange(theta.shape[0])].set(1.0)
-    L = blocked_cholesky(M) if use_blocked else jnp.linalg.cholesky(M)
+    L = recursive_cholesky(M) if use_blocked else jnp.linalg.cholesky(M)
     return L, d_isqrt
 
 
@@ -205,7 +208,9 @@ def factorize(
         scales[b.name] = s
         if solve_mode == "inverse":
             if on_accelerator:
-                inv = blocked_tri_inverse(L)
+                # raw f32 inverse carries ~1e-2 left-residual on these
+                # ill-conditioned factors; one Newton step restores ~1e-4
+                inv = newton_refine_tri_inverse(L, recursive_tri_inverse(L))
             else:
                 inv = jax.jit(tri_inverse)(L)
             if equilibrate:

@@ -63,3 +63,41 @@ class Posterior:
         return jnp.matmul(
             ct, self._weights[b.name], precision=jax.lax.Precision.HIGHEST
         )
+
+    def variance(
+        self,
+        X_test: jnp.ndarray,
+        block: str | None = None,
+        op: LinearOp | None = None,
+    ) -> jnp.ndarray:
+        """Pointwise posterior variance of ``op`` applied to the block's GP.
+
+        ``var(x) = (op (x) op) kappa(x, x) - c(x)^T Theta^{-1} c(x)`` with
+        ``c(x)`` the cross-covariance row; the quadratic form reuses the
+        factorization's whitening operator (one matmul on TPU), so the cost
+        is the same as a posterior-mean query. The reference has no
+        uncertainty output at all - this is a capability it lacks.
+
+        The variance is with respect to the *nugget-regularized* prior (the
+        GP actually conditioned on), and is clipped at zero against f32
+        rounding.
+        """
+        p = self.fp.problem
+        b = p.block(block) if block is not None else p.blocks[0]
+        if op is None:
+            op = identity(b.kernel.dim)
+        X_test = jnp.asarray(X_test)
+        ct = _cross_gram_jit(b.kernel, op, X_test, b.observables, p.points)
+        pair = b.kernel.pair_fn(op, op)
+        prior = jax.vmap(lambda x: pair(x[None], x[None])[0, 0])(X_test)
+        V = self.fp._whiten(b.name, ct.T)  # (n_train, N_test)
+        return jnp.clip(prior - jnp.sum(V * V, axis=0), 0.0)
+
+    def std(
+        self,
+        X_test: jnp.ndarray,
+        block: str | None = None,
+        op: LinearOp | None = None,
+    ) -> jnp.ndarray:
+        """Pointwise posterior standard deviation (see :meth:`variance`)."""
+        return jnp.sqrt(self.variance(X_test, block=block, op=op))

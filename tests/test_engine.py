@@ -215,3 +215,59 @@ def test_gn_cg_matches_direct():
     np.testing.assert_allclose(
         np.asarray(st_cg.losses[-1]), np.asarray(st_d.losses[-1]), rtol=1e-6
     )
+
+
+def test_posterior_variance_against_dense_formula():
+    """variance() must equal the textbook kappa(x,x) - c^T Theta^{-1} c, and
+    be ~nugget-small at training points, larger far from them."""
+    rng = np.random.default_rng(3)
+    Xd = jnp.asarray(rng.uniform(0.3, 0.7, (25, 2)))
+    Xb = jnp.asarray(rng.uniform(0.3, 0.7, (8, 2)))
+    k = SquaredExponential.gaussian(0.3)
+    vals_b = jnp.zeros(8)
+
+    def residual(z, data):
+        return jnp.concatenate([z, data["g"]])
+
+    prob = CollocationProblem(
+        name="varcheck",
+        blocks=(
+            GPBlock(
+                "u",
+                k,
+                (Observable("domain", identity()), Observable("boundary", identity())),
+                residual,
+            ),
+        ),
+        points={"domain": Xd, "boundary": Xb},
+        data={"g": vals_b},
+        latent_dim=25,
+    )
+    nugget = 1e-8
+    fp = factorize(prob, nugget=nugget, nugget_type="identity")
+    post = Posterior(fp, jnp.zeros(25))
+
+    Xt = jnp.asarray(rng.uniform(0.0, 1.0, (15, 2)))
+    var = post.variance(Xt)
+
+    # dense reference: Theta + nugget*I assembled directly
+    from nonlinpdes_gpsolver_tpu.ops.assembly import cross_gram, regularized_gram
+
+    obs = prob.blocks[0].observables
+    Th = regularized_gram(k, obs, prob.points, nugget, "identity")
+    C = cross_gram(k, identity(), Xt, obs, prob.points)
+    ref = jax.vmap(lambda x: k.kappa(x, x))(Xt) - jnp.einsum(
+        "ij,ij->i", C, C @ jnp.linalg.inv(Th)
+    )
+    np.testing.assert_allclose(np.asarray(var), np.asarray(ref), atol=1e-6)
+
+    # at training points the variance collapses to ~nugget scale
+    var_train = post.variance(Xd)
+    assert float(jnp.max(var_train)) < 100 * nugget
+    # far away it approaches the prior variance kappa(x,x)=1
+    far = post.variance(jnp.asarray([[5.0, 5.0]]))
+    np.testing.assert_allclose(np.asarray(far), [1.0], atol=1e-3)
+    # std is the square root and nonnegative
+    np.testing.assert_allclose(
+        np.asarray(post.std(Xt)), np.sqrt(np.asarray(var)), rtol=1e-6
+    )
