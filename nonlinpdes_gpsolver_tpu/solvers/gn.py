@@ -145,21 +145,46 @@ class GNState(NamedTuple):
 
 
 @partial(jax.jit, static_argnums=(3,))
-def _equilibrated_cholesky(theta, nug_diag, s, use_blocked=False):
+def _equilibrated_cholesky(theta, nug_diag, s, use_controlled):
     """Factor ``D^{-1/2} (theta + s*diag(nug)) D^{-1/2}`` (unit diagonal).
 
-    ``use_blocked`` selects the precision-controlled recursive factorization
-    (:func:`..ops.linalg.recursive_cholesky`) - required on TPU, where XLA's
-    native cholesky runs internal dots at bf16-pass precision. (Measured on
-    a v5e at n=8192: recursive 93 ms vs full-width blocked 131 ms, maxdiff
-    7e-7.)
+    ``s`` is a *traced* scalar so the host-side nugget-escalation retry loop
+    reuses one compiled executable (a Python-float ``s`` would recompile per
+    attempt - expensive when compilation is remote). Returns
+    ``(L, d_isqrt, finite)``.
+
+    ``use_controlled`` selects the precision-controlled recursive
+    factorization (:func:`..ops.linalg.recursive_cholesky`) - required on
+    TPU, where XLA's native cholesky runs internal dots at bf16-pass
+    precision. (Measured on a v5e at n=8192: recursive 93 ms vs full-width
+    blocked 131 ms, maxdiff 7e-7.)
+
+    NOTE the triangular inverse + Newton refinement are deliberately NOT
+    fused into this executable: on the tunneled-TPU backend, a single XLA
+    program containing cholesky + tri-inverse + Newton produced a finite but
+    *wrong* inverse (whitening left-residual ~1.0 at n=21k) while the exact
+    same ops dispatched as separate executables are correct to ~1e-4 -
+    reproduced deterministically, shape-dependent (fine at n<=4k). The
+    factorization path therefore keeps them as separate dispatches and
+    additionally probes whitening quality (:func:`_whiten_quality`) so any
+    silent corruption is caught and handled by nugget escalation rather
+    than poisoning the solve.
     """
     d = jnp.diagonal(theta) + s * nug_diag
     d_isqrt = jax.lax.rsqrt(d)
     M = theta * (d_isqrt[:, None] * d_isqrt[None, :])
     M = M.at[jnp.arange(theta.shape[0]), jnp.arange(theta.shape[0])].set(1.0)
-    L = recursive_cholesky(M) if use_blocked else jnp.linalg.cholesky(M)
-    return L, d_isqrt
+    L = recursive_cholesky(M) if use_controlled else jnp.linalg.cholesky(M)
+    return L, d_isqrt, jnp.all(jnp.isfinite(L))
+
+
+@jax.jit
+def _whiten_quality(inv, L, d_isqrt, v):
+    """Relative whitening residual ``max|W(Lv) - v| / max|v|`` for the
+    scale-folded operator ``inv = L~^{-1} D^{-1/2}`` (matvecs only)."""
+    u = jnp.matmul(L, v, precision=jax.lax.Precision.HIGHEST)
+    w = jnp.matmul(inv, u / d_isqrt, precision=jax.lax.Precision.HIGHEST)
+    return jnp.max(jnp.abs(w - v)) / jnp.max(jnp.abs(v))
 
 
 def factorize(
@@ -185,17 +210,41 @@ def factorize(
     pts = {
         k: jnp.asarray(v, dtype=dtype) for k, v in problem.points.items()
     }
+    probe = None
     for b in problem.blocks:
         theta, nug = _assemble_block(b.kernel, b.observables, pts, nugget_type, nugget)
         if equilibrate:
+            want_inv = solve_mode == "inverse"
             s = 1.0
             for _ in range(6):
-                L, d_isqrt = _equilibrated_cholesky(
-                    theta, nug, s, on_accelerator
+                L, d_isqrt, finite = _equilibrated_cholesky(
+                    theta, nug, jnp.asarray(s, theta.dtype), on_accelerator
                 )
-                if bool(jnp.all(jnp.isfinite(L))):
+                if not bool(finite):
+                    s *= 10.0
+                    continue
+                if not want_inv:
                     break
-                s *= 10.0
+                # separate dispatches on purpose - see _equilibrated_cholesky
+                if on_accelerator:
+                    # raw f32 inverse carries ~1e-2 left-residual on these
+                    # ill-conditioned factors; one Newton step restores ~1e-4
+                    inv = newton_refine_tri_inverse(L, recursive_tri_inverse(L))
+                else:
+                    inv = jax.jit(tri_inverse)(L)
+                inv = inv * d_isqrt[None, :]
+                if probe is None or probe.shape[0] != L.shape[0]:
+                    import numpy as onp
+
+                    probe = jnp.asarray(
+                        onp.random.default_rng(0).standard_normal(L.shape[0]),
+                        L.dtype,
+                    )
+                q = _whiten_quality(inv, L, d_isqrt, probe)
+                if bool(jnp.isfinite(q)) and float(q) < 1e-2:
+                    inv_factors[b.name] = inv
+                    break
+                s *= 10.0  # finite but corrupted factor: escalate anyway
             else:
                 raise FloatingPointError(
                     f"block {b.name!r}: Cholesky failed after nugget "
@@ -204,18 +253,10 @@ def factorize(
             col_scales[b.name] = d_isqrt
         else:
             L, s = cholesky_with_retry(theta, nug)
+            if solve_mode == "inverse":
+                inv_factors[b.name] = jax.jit(tri_inverse)(L)
         factors[b.name] = L
         scales[b.name] = s
-        if solve_mode == "inverse":
-            if on_accelerator:
-                # raw f32 inverse carries ~1e-2 left-residual on these
-                # ill-conditioned factors; one Newton step restores ~1e-4
-                inv = newton_refine_tri_inverse(L, recursive_tri_inverse(L))
-            else:
-                inv = jax.jit(tri_inverse)(L)
-            if equilibrate:
-                inv = inv * col_scales[b.name][None, :]
-            inv_factors[b.name] = inv
     return FactoredProblem(problem, factors, inv_factors, scales, col_scales)
 
 
