@@ -34,12 +34,27 @@ def _pair_impl(kernel: SquaredExponential, op_x: LinearOp, op_y: LinearOp):
     """Block evaluator: fused Pallas tile kernel on TPU (measured on a v5e:
     HBM-bandwidth-bound, bit-identical to the XLA closed form and ~10%
     faster), XLA closed-form elsewhere. Both are compiled from the same
-    static polynomial tables; parity is tested in interpret mode."""
-    if jax.default_backend() == "tpu":
-        from .pallas_gram import pallas_pair_fn
+    static polynomial tables; parity is tested in interpret mode.
 
-        return pallas_pair_fn(kernel, op_x, op_y)
-    return kernel.pair_fn(op_x, op_y)
+    The Pallas path is additionally gated on operand dtype: TPUs have no
+    native f64, and XLA's x64-emulation rewriter cannot rewrite a
+    ``pallas_call`` custom call (it fails to compile outright), so f64
+    operands always take the closed-form XLA path where emulation works.
+    """
+    xla_fn = kernel.pair_fn(op_x, op_y)
+    if jax.default_backend() != "tpu":
+        return xla_fn
+
+    from .pallas_gram import pallas_pair_fn
+
+    pl_fn = pallas_pair_fn(kernel, op_x, op_y)
+
+    def dispatch(X, Y):
+        if jnp.result_type(X, Y) in (jnp.float32, jnp.bfloat16):
+            return pl_fn(X, Y)
+        return xla_fn(X, Y)
+
+    return dispatch
 
 
 @dataclasses.dataclass(frozen=True)

@@ -215,8 +215,15 @@ def factorize(
         theta, nug = _assemble_block(b.kernel, b.observables, pts, nugget_type, nugget)
         if equilibrate:
             want_inv = solve_mode == "inverse"
-            s = 1.0
-            for _ in range(6):
+            # Escalation start: the equilibrated matrix has unit diagonal, so
+            # the effective relative nugget is ``nugget * s``. Reference CLI
+            # configs use f64-era nuggets as small as 1e-13
+            # (main_NonLinElliptic2d.py:28 upstream); below a few ulps of the
+            # working dtype they are no regularization at all, so start the
+            # retry ladder at a dtype-aware floor instead of burning attempts.
+            eps = float(jnp.finfo(theta.dtype).eps)
+            s = max(1.0, (4.0 * eps) / max(nugget, 1e-300))
+            for _ in range(8):
                 L, d_isqrt, finite = _equilibrated_cholesky(
                     theta, nug, jnp.asarray(s, theta.dtype), on_accelerator
                 )

@@ -36,7 +36,9 @@ class SolverConfig:
     pen_lambda: float = 1e-10
     # runtime
     platform: Optional[str] = None  # None = whatever JAX picks (TPU if present)
-    x64: bool = True
+    # None = auto: f64 on CPU (reference parity), f32 on TPU (native precision;
+    # f64 on TPU is software emulation and the Pallas paths are f32-only).
+    x64: Optional[bool] = None
     show_figure: bool = False
 
 
@@ -80,7 +82,10 @@ def apply_runtime(cfg: SolverConfig) -> None:
 
     if cfg.platform:
         jax.config.update("jax_platforms", cfg.platform)
-    jax.config.update("jax_enable_x64", bool(cfg.x64))
+    x64 = cfg.x64
+    if x64 is None:
+        x64 = jax.default_backend() != "tpu"
+    jax.config.update("jax_enable_x64", bool(x64))
 
 
 def build_kernel(cfg: SolverConfig):
