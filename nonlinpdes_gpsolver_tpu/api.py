@@ -80,6 +80,8 @@ class GPSolver:
         z0: Optional[jnp.ndarray] = None,
         hessian_jitter: float = 0.0,
     ) -> SolveResult:
+        import jax
+
         with self.timers.phase("gauss_newton"):
             state = gn_solve(
                 self.fp,
@@ -88,18 +90,19 @@ class GPSolver:
                 step_size=step_size,
                 hessian_jitter=hessian_jitter,
             )
-            state.z.block_until_ready()
-        if not bool(state.converged_finite):
+            # one device->host round trip covers the completion barrier, the
+            # finiteness verdict, and the loss history for logging (three
+            # separate syncs would each pay full latency on remote backends)
+            finite, losses = jax.device_get(
+                (state.converged_finite, state.losses)
+            )
+        if not bool(finite):
             log.warning(
                 "problem %r: at least one GN step was rejected as non-finite "
                 "(nugget may be too small)",
                 self.problem.name,
             )
-        log.info(
-            "problem %r: GN losses %s",
-            self.problem.name,
-            np.asarray(state.losses),
-        )
+        log.info("problem %r: GN losses %s", self.problem.name, losses)
         with self.timers.phase("posterior_weights"):
             post = Posterior(self.fp, state.z)
         return SolveResult(state=state, posterior=post, timers=self.timers.as_dict())

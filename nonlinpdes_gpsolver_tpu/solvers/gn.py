@@ -223,11 +223,18 @@ def factorize(
             # retry ladder at a dtype-aware floor instead of burning attempts.
             eps = float(jnp.finfo(theta.dtype).eps)
             s = max(1.0, (4.0 * eps) / max(nugget, 1e-300))
+            # Host-sync policy: on remote-dispatch backends every sync is a
+            # round trip. At small n the sync dominates the factorization, so
+            # we skip the finite-check and let the whitening-quality probe
+            # (which also catches NaN) arbitrate; at large n a NaN factor
+            # must be caught *before* paying the O(n^3) inverse+refinement on
+            # garbage, so the early sync pays for itself.
+            check_finite_early = theta.shape[0] >= 8192
             for _ in range(8):
                 L, d_isqrt, finite = _equilibrated_cholesky(
                     theta, nug, jnp.asarray(s, theta.dtype), on_accelerator
                 )
-                if not bool(finite):
+                if (check_finite_early or not want_inv) and not bool(finite):
                     s *= 10.0
                     continue
                 if not want_inv:

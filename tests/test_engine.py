@@ -368,3 +368,36 @@ def test_structured_auto_selection_and_fallback():
     # auto silently uses direct and still solves
     st = gn_solve(fp_c, max_iter=2, step_solver="auto")
     assert bool(jnp.all(jnp.isfinite(st.z)))
+
+
+def test_factorize_inverse_escalates_via_quality_probe():
+    """With ``solve_mode='inverse'`` at small n the factorization skips the
+    early finite-sync; a singular Gram (duplicated collocation points) must
+    still be caught - by the whitening-quality probe - and the nugget
+    escalated until the factor is usable."""
+    rng = np.random.default_rng(0)
+    Xd_half = rng.uniform(0, 1, (15, 2))
+    Xd = jnp.asarray(np.concatenate([Xd_half, Xd_half]))  # exact duplicates
+    Xb = jnp.asarray(rng.uniform(0, 1, (10, 2)))
+    k = SquaredExponential.gaussian(0.5)
+    obs = (
+        Observable("domain", identity()),
+        Observable("boundary", identity()),
+    )
+    prob = CollocationProblem(
+        name="dup",
+        blocks=(GPBlock("u", k, obs, lambda z, data: jnp.concatenate([z, data["g"]])),),
+        points={"domain": Xd, "boundary": Xb},
+        data={"g": jnp.zeros(10)},
+        latent_dim=30,
+        misfits=(),
+    )
+    fp = factorize(prob, nugget=1e-300, solve_mode="inverse")
+    assert fp.nugget_scales["u"] > 1.0
+    W = fp.inv_factors["u"]
+    assert bool(jnp.all(jnp.isfinite(W)))
+    # the accepted operator must actually whiten: W L ~ I on the probe scale
+    L = fp.factors["u"]
+    v = jnp.asarray(rng.standard_normal(L.shape[0]), L.dtype)
+    resid = W @ ((L @ v) / fp.col_scales["u"]) - v
+    assert float(jnp.max(jnp.abs(resid))) < 1e-2 * float(jnp.max(jnp.abs(v)))
