@@ -68,7 +68,11 @@ class solver_GP:
         name = getattr(self.config, "kernel", "Gaussian").lower()
         param = getattr(self.config, "kernel_parameter", 0.2)
         if "anisotropic" in name:
-            return SquaredExponential.anisotropic(list(np.atleast_1d(param)))
+            # Both upstream sigma conventions are honored: 'lengthscale'
+            # (src/kernels.py:96-98 divides by sigma - the CLI default) and
+            # 'precision' (the Burgers notebook multiplies, set_sigma=[3,20]).
+            conv = getattr(self.config, "aniso_convention", "lengthscale")
+            return SquaredExponential.anisotropic(list(np.atleast_1d(param)), conv)
         return SquaredExponential.gaussian(float(np.atleast_1d(param)[0]))
 
     def _seed(self) -> int:
@@ -246,6 +250,27 @@ class solver_GP:
         return sample_scatter(self._X_domain, self._X_boundary)
 
     show_sample_IP = show_sample
+
+    def show_IP_result(self, X_test, truth_a=None, truth_u=None):
+        """Darcy 2x2 panels: true vs recovered ``a`` and ``u`` at X_test
+        (the figure the reference driver builds inline,
+        ``main_DarcyFlow2d.py:139-172`` upstream). Call after ``test()``."""
+        from .utils.plotting import field_panels
+
+        if self.PDE_type != "Darcy_flow2d":
+            raise ValueError("show_IP_result is the Darcy inverse-problem plot")
+        fields, titles = [], []
+        if truth_a is not None:
+            fields.append(np.asarray(truth_a))
+            titles.append("true $a$")
+        fields.append(np.exp(self.extended_sol_a))
+        titles.append("recovered $a$")
+        if truth_u is not None:
+            fields.append(np.asarray(truth_u))
+            titles.append("true $u$")
+        fields.append(self.extended_sol_u)
+        titles.append("recovered $u$")
+        return field_panels(np.asarray(X_test), fields, titles, ncols=2)
 
     def contour_of_test_err(self, XX=None, YY=None):
         from .utils.plotting import contour_error

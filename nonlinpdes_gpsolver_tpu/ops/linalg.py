@@ -369,7 +369,9 @@ def spd_solve(H: jnp.ndarray, g: jnp.ndarray, jitter: float = 0.0) -> jnp.ndarra
     """
     if jitter:
         H = H + jitter * jnp.eye(H.shape[0], dtype=H.dtype)
-    if jax.default_backend() == "cpu":
+    from .backend import is_accelerator
+
+    if not is_accelerator():
         Lh = jnp.linalg.cholesky(H)
         return solve_triangular(
             Lh, solve_triangular(Lh, g, lower=True), lower=True, trans=1

@@ -200,7 +200,9 @@ def factorize(
     ``equilibrate`` (default) factors the diagonally-scaled matrix - exactly
     equivalent whitening, far better fp32 conditioning (the TPU regime).
     """
-    on_accelerator = jax.default_backend() not in ("cpu",)
+    from ..ops.backend import is_accelerator
+
+    on_accelerator = is_accelerator()
     if solve_mode == "auto":
         solve_mode = "inverse" if on_accelerator else "trsm"
     factors = {}
@@ -230,7 +232,9 @@ def factorize(
             # must be caught *before* paying the O(n^3) inverse+refinement on
             # garbage, so the early sync pays for itself.
             check_finite_early = theta.shape[0] >= 8192
+            s_attempted = s
             for _ in range(8):
+                s_attempted = s
                 L, d_isqrt, finite = _equilibrated_cholesky(
                     theta, nug, jnp.asarray(s, theta.dtype), on_accelerator
                 )
@@ -262,7 +266,7 @@ def factorize(
             else:
                 raise FloatingPointError(
                     f"block {b.name!r}: Cholesky failed after nugget "
-                    f"escalation to {s:g}x"
+                    f"escalation to {s_attempted:g}x"
                 )
             col_scales[b.name] = d_isqrt
         else:

@@ -82,9 +82,14 @@ def apply_runtime(cfg: SolverConfig) -> None:
 
     if cfg.platform:
         jax.config.update("jax_platforms", cfg.platform)
+    from ..ops.backend import is_accelerator
+
     x64 = cfg.x64
     if x64 is None:
-        x64 = jax.default_backend() != "tpu"
+        # f64 only on CPU (reference parity); any accelerator - including
+        # the tunneled single-chip backend - gets native f32 + the
+        # precision-controlled linalg paths. One shared rule (ops.backend).
+        x64 = not is_accelerator()
     jax.config.update("jax_enable_x64", bool(x64))
 
 

@@ -376,8 +376,8 @@ def test_factorize_inverse_escalates_via_quality_probe():
     still be caught - by the whitening-quality probe - and the nugget
     escalated until the factor is usable."""
     rng = np.random.default_rng(0)
-    Xd_half = rng.uniform(0, 1, (15, 2))
-    Xd = jnp.asarray(np.concatenate([Xd_half, Xd_half]))  # exact duplicates
+    Xd_q = rng.uniform(0, 1, (30, 2))
+    Xd = jnp.asarray(np.concatenate([Xd_q] * 4))  # 4x exact duplicates
     Xb = jnp.asarray(rng.uniform(0, 1, (10, 2)))
     k = SquaredExponential.gaussian(0.5)
     obs = (
@@ -389,10 +389,18 @@ def test_factorize_inverse_escalates_via_quality_probe():
         blocks=(GPBlock("u", k, obs, lambda z, data: jnp.concatenate([z, data["g"]])),),
         points={"domain": Xd, "boundary": Xb},
         data={"g": jnp.zeros(10)},
-        latent_dim=30,
+        latent_dim=120,
         misfits=(),
     )
-    fp = factorize(prob, nugget=1e-300, solve_mode="inverse")
+    # f32 with nugget=1e-6: the dtype-aware floor start is exactly s=1.0
+    # (4*eps_f32/1e-6 = 0.48 < 1), so the first attempt runs at the raw
+    # nugget - which on this 4x-duplicated (singular) Gram produces a
+    # non-finite/corrupt factor whose whitening-quality probe fails. A final
+    # nugget_scales > 1.0 therefore proves the probe arbitrated, not the
+    # floor initialization (round-1 advisor finding: at nugget=1e-300 the
+    # floor alone started s ~ 9e284 and the assertion was vacuous; in f64
+    # even exact duplicates factor cleanly at any floor<=1 nugget).
+    fp = factorize(prob, nugget=1e-6, solve_mode="inverse", dtype=jnp.float32)
     assert fp.nugget_scales["u"] > 1.0
     W = fp.inv_factors["u"]
     assert bool(jnp.all(jnp.isfinite(W)))
