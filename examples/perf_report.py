@@ -25,6 +25,17 @@ def main():
         "--warm", action="store_true",
         help="run each size twice and report the second (compile-free) pass",
     )
+    parser.add_argument(
+        "--mesh", type=int, default=0,
+        help="run the memory-bounded distributed path on an N-device mesh "
+             "(1 is valid: same code path, single chip)",
+    )
+    parser.add_argument("--mesh_block", type=int, default=512)
+    parser.add_argument(
+        "--step_solver", type=str, default="auto",
+        choices=["auto", "direct", "cg", "structured"],
+    )
+    parser.add_argument("--test_grid", type=int, default=60)
     args = parser.parse_args()
 
     import jax
@@ -46,9 +57,17 @@ def main():
         return -jnp.trace(jax.hessian(u_truth)(x)) + u_truth(x) ** 3
 
     kernel = gpt.SquaredExponential.gaussian(0.2)
-    Xt = gpt.utils.test_grid(60, 60)
+    Xt = gpt.utils.test_grid(args.test_grid, args.test_grid)
     truth = jax.vmap(u_truth)(Xt)
-    print(f"backend={jax.default_backend()} x64={args.x64}")
+    mesh = None
+    if args.mesh:
+        from nonlinpdes_gpsolver_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.mesh)
+    print(
+        f"backend={jax.default_backend()} x64={args.x64} "
+        f"mesh={args.mesh or 'off'} solver={args.step_solver}"
+    )
     print(
         f"{'N':>7} {'factor_s':>9} {'gn_s':>8} {'post_s':>8} "
         f"{'chol_TF/s':>10} {'gn_TF/s':>9} {'gn_it/s':>8} {'test_L2':>10}"
@@ -63,12 +82,36 @@ def main():
                 kernel, Xd, Xb, rhs_f, u_truth, seed=seed + 1
             )
             t0 = time.perf_counter()
-            fp = factorize(prob, nugget=args.nugget)
-            t1 = time.perf_counter()
-            st = gn_solve(fp, max_iter=args.gn_steps)
-            st.z.block_until_ready()
-            t2 = time.perf_counter()
-            pred = Posterior(fp, st.z).extend(Xt)
+            if mesh is not None:
+                from nonlinpdes_gpsolver_tpu.solvers.distributed import (
+                    DistributedPosterior,
+                    factorize_distributed,
+                    gn_solve_distributed,
+                )
+
+                fp = factorize_distributed(
+                    prob, mesh, nugget=args.nugget, block=args.mesh_block
+                )
+                t1 = time.perf_counter()
+                st = gn_solve_distributed(
+                    fp, max_iter=args.gn_steps,
+                    step_solver=(
+                        "auto" if args.step_solver == "structured"
+                        else args.step_solver
+                    ),
+                )
+                st.z.block_until_ready()
+                t2 = time.perf_counter()
+                pred = DistributedPosterior(fp, st.z).extend(Xt)
+            else:
+                fp = factorize(prob, nugget=args.nugget)
+                t1 = time.perf_counter()
+                st = gn_solve(
+                    fp, max_iter=args.gn_steps, step_solver=args.step_solver
+                )
+                st.z.block_until_ready()
+                t2 = time.perf_counter()
+                pred = Posterior(fp, st.z).extend(Xt)
             pred.block_until_ready()
             t3 = time.perf_counter()
             return prob, (t1 - t0, t2 - t1, t3 - t2), gpt.GPSolver.errors(pred, truth)
@@ -81,7 +124,8 @@ def main():
             f"{N:>7} {ts[0]:>9.3f} {ts[1]:>8.3f} {ts[2]:>8.3f} "
             f"{tflops(fm['cholesky'], ts[0]):>10.2f} "
             f"{tflops(fm['gn_total'], ts[1]):>9.2f} "
-            f"{args.gn_steps / ts[1]:>8.1f} {err.l2:>10.3e}"
+            f"{args.gn_steps / ts[1]:>8.1f} {err.l2:>10.3e}",
+            flush=True,
         )
 
 

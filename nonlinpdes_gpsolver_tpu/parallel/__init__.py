@@ -3,6 +3,7 @@ from .cholesky import (
     cholesky_blockcyclic,
     trsm_blockcyclic,
     kernel_solve_blockcyclic,
+    matvec_blockcyclic,
     pad_to_blocks,
     shard_rows_blockcyclic,
     unshard_rows_blockcyclic,
@@ -16,6 +17,7 @@ __all__ = [
     "cholesky_blockcyclic",
     "trsm_blockcyclic",
     "kernel_solve_blockcyclic",
+    "matvec_blockcyclic",
     "pad_to_blocks",
     "shard_rows_blockcyclic",
     "unshard_rows_blockcyclic",

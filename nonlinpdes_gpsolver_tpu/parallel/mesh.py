@@ -9,6 +9,7 @@ by the sharded Gram assembler and the distributed dense factorizations.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -53,16 +54,34 @@ def initialize_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
-) -> None:
-    """Multi-host bring-up (no-op when single-process).
+) -> bool:
+    """Multi-host bring-up; returns whether the distributed runtime started.
 
-    On a real pod slice each host calls this before building the global mesh;
-    under the single-chip tunnel or CPU testing it is skipped silently.
+    Three modes (README "Multi-host launch"):
+
+    * explicit ``num_processes > 1``: pass coordinator/process identity
+      through to ``jax.distributed.initialize`` (generic clusters);
+    * all arguments ``None`` *on a Cloud TPU environment*
+      (``TPU_WORKER_ID`` set): bare ``jax.distributed.initialize()`` -
+      JAX auto-detects the coordinator from TPU metadata;
+    * otherwise (single process, the tunnel, CPU testing): no-op.
+
+    Call before any device use; each host then builds the same global
+    :func:`make_mesh`.
     """
-    if num_processes is None or num_processes <= 1:
-        return
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        return True
+    if (
+        num_processes is None
+        and coordinator_address is None
+        and process_id is None
+        and os.environ.get("TPU_WORKER_ID") is not None
+    ):
+        jax.distributed.initialize()
+        return True
+    return False

@@ -5,7 +5,6 @@ from .distributed import (
     DistributedPosterior,
     factorize_distributed,
     gn_solve_distributed,
-    gn_step_distributed,
 )
 
 __all__ = [
@@ -18,5 +17,4 @@ __all__ = [
     "DistributedPosterior",
     "factorize_distributed",
     "gn_solve_distributed",
-    "gn_step_distributed",
 ]

@@ -140,3 +140,79 @@ def test_distributed_f32_equilibrated(eight_devices):
         assert np.isfinite(err.l2) and err.l2 < 1e-3, err
     finally:
         _jax.config.update("jax_enable_x64", True)
+
+
+def test_distributed_cg_matches_direct_and_single_device(eight_devices):
+    """The matrix-free CG step (the O(n)-memory path past any panel's fit)
+    must agree with the column-sharded direct step and the single-device
+    solver on the same problem."""
+    prob, _ = _elliptic_problem()
+    mesh = make_mesh(8)
+    dfp = factorize_distributed(prob, mesh, nugget=1e-10, block=16)
+    st_direct = gn_solve_distributed(dfp, max_iter=3, step_solver="direct")
+    st_cg = gn_solve_distributed(dfp, max_iter=3, step_solver="cg")
+    fp = factorize(prob, nugget=1e-10, solve_mode="trsm")
+    sstate = gn_solve(fp, max_iter=3)
+    np.testing.assert_allclose(
+        np.asarray(st_cg.z), np.asarray(st_direct.z), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_cg.z), np.asarray(sstate.z), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_cg.losses), np.asarray(sstate.losses), rtol=1e-3
+    )
+
+
+def test_factorize_distributed_escalates_on_singular_gram(eight_devices):
+    """Duplicated collocation points make the Gram exactly singular; the
+    guarded distributed factorization must escalate the nugget via the
+    factor-quality probe instead of returning a NaN/corrupt factor (mirror
+    of test_factorize_inverse_escalates_via_quality_probe on the mesh path;
+    round-1 VERDICT weak item 5)."""
+    import jax as _jax
+
+    _jax.config.update("jax_enable_x64", False)
+    try:
+        rng = np.random.default_rng(0)
+        Xd_q = rng.uniform(0, 1, (30, 2)).astype(np.float32)
+        Xd = jnp.asarray(np.concatenate([Xd_q] * 4))
+        Xb = jnp.asarray(rng.uniform(0, 1, (12, 2)).astype(np.float32))
+
+        def u_truth(x):
+            return jnp.sin(jnp.pi * x[0]) * jnp.sin(jnp.pi * x[1])
+
+        def rhs_f(x):
+            return -jnp.trace(jax.hessian(u_truth)(x)) + u_truth(x) ** 3
+
+        k = gpt.SquaredExponential.gaussian(0.3)
+        prob = gpt.models.nonlinear_elliptic(k, Xd, Xb, rhs_f, u_truth, seed=1)
+        mesh = make_mesh(8)
+        dfp = factorize_distributed(prob, mesh, nugget=1e-6, block=16)
+        assert dfp.nugget_scales["u"] > 1.0
+        # the accepted factor must actually be usable: finite whitening
+        r = dfp.whitened_residual(prob.init_latent().astype(jnp.float32))
+        assert bool(jnp.all(jnp.isfinite(r)))
+    finally:
+        _jax.config.update("jax_enable_x64", True)
+
+
+def test_distributed_posterior_variance_matches_single_device(eight_devices):
+    from nonlinpdes_gpsolver_tpu.solvers import Posterior
+    from nonlinpdes_gpsolver_tpu.solvers.distributed import DistributedPosterior
+
+    prob, _ = _elliptic_problem()
+    mesh = make_mesh(8)
+    dfp = factorize_distributed(prob, mesh, nugget=1e-10, block=16)
+    dstate = gn_solve_distributed(dfp, max_iter=3)
+    dpost = DistributedPosterior(dfp, dstate.z)
+
+    fp = factorize(prob, nugget=1e-10, solve_mode="trsm")
+    sstate = gn_solve(fp, max_iter=3)
+    spost = Posterior(fp, sstate.z)
+
+    Xt = gpt.utils.test_grid(9, 9)
+    vd = np.asarray(dpost.variance(Xt))
+    vs = np.asarray(spost.variance(Xt))
+    assert (vd >= 0).all()
+    np.testing.assert_allclose(vd, vs, atol=1e-9)
