@@ -361,7 +361,7 @@ def gn_solve_distributed(
     step_size: float = 1.0,
     step_solver: str = "auto",
     hessian_jitter: float = 0.0,
-    cg_tol: float = 1e-10,
+    cg_tol: float | None = None,
     cg_maxiter: int | None = None,
     direct_latent_limit: int = 16384,
 ) -> GNState:
@@ -378,35 +378,65 @@ def gn_solve_distributed(
     z = z.astype(dtype)
     if step_solver == "auto":
         step_solver = "direct" if z.shape[0] <= direct_latent_limit else "cg"
+    if cg_tol is None:
+        # inexact-Newton tolerance at the dtype's reachable level: pushing
+        # f32 CG past ~1e-6 relative residual only burns iterations on
+        # rounding noise (GN re-linearizes next step anyway)
+        cg_tol = 1e-10 if jnp.finfo(dtype).eps < 1e-10 else 1e-6
 
     p = fp.problem
     spec = (
         tuple((b.name, b.residual) for b in p.blocks),
         tuple((m.residual, float(m.weight)) for m in p.misfits),
     )
+    # the factor shards and equilibration vectors are threaded through jit
+    # as ARGUMENTS (rebuilt into a DistributedFactoredProblem inside the
+    # trace from static metadata) - closing over them would embed hundreds
+    # of MB of factor data as HLO constants, which the remote-compile
+    # backend rejects outright (HTTP 413) and which would bloat any
+    # compile cache. Mirrors the arrays/spec split of gn._gn_scan.
+    fac_meta = tuple(
+        (name, fac.mesh, fac.axis, fac.block, fac.n, fac.n_pad)
+        for name, fac in fp.factors.items()
+    )
+    locals_ = {name: fp.factors[name].local for name, *_ in fac_meta}
 
-    @jax.jit
-    def run(z):
+    @partial(jax.jit, static_argnames=("meta",))
+    def run(z, locals_, scales, data, meta):
+        factors = {
+            name: BlockCyclicFactor(
+                local=locals_[name], mesh=mesh, axis=axis, block=block,
+                n=n, n_pad=n_pad,
+            )
+            for name, mesh, axis, block, n, n_pad in meta
+        }
+        fpt = DistributedFactoredProblem(
+            problem=dataclasses.replace(p, data=data),
+            factors=factors,
+            col_scales=scales,
+            nugget_scales=fp.nugget_scales,
+        )
+
         def step(carry, _):
             zc, ok = carry
             if step_solver == "direct":
-                delta = _gn_direct_delta(fp, zc, spec, hessian_jitter)
+                delta = _gn_direct_delta(fpt, zc, spec, hessian_jitter)
             else:
                 delta = _gn_cg_delta(
-                    fp, zc, spec, hessian_jitter, cg_tol, cg_maxiter
+                    fpt, zc, spec, hessian_jitter, cg_tol, cg_maxiter
                 )
             z_new = zc - step_size * delta
             finite = jnp.all(jnp.isfinite(z_new))
             z_next = jnp.where(finite, z_new, zc)
             ok = jnp.logical_and(ok, finite)
-            return (z_next, ok), fp.loss(z_next)
+            return (z_next, ok), fpt.loss(z_next)
 
         (z_final, ok), losses = jax.lax.scan(
             step, (z, jnp.asarray(True)), None, length=max_iter
         )
         return z_final, losses, ok
 
-    z_final, losses, ok = run(z)
+    z_final, losses, ok = run(z, locals_, dict(fp.col_scales), p.data, fac_meta)
     return GNState(z=z_final, losses=losses, converged_finite=ok)
 
 
