@@ -11,9 +11,9 @@ assembly + factorization + the full GN loop + posterior weights + test
 extension, after one warm-up run (compile cache hot - the serving regime).
 
 vs_baseline: speedup over the reference implementation executing its own
-pipeline end-to-end on this host's CPU (measured 2026-08-17 via
-`main_NonLinElliptic2d.py --nugget 1e-13 --N_domain 900 --N_boundary 124
---GNsteps 4`, f64, jit-warm within run: 19.3 s). Higher is better.
+pipeline end-to-end on this host's CPU (f64, the only mode it supports),
+measured by `scripts/measure_reference.py` into REF_BASELINE.json - re-run
+that script to re-derive the constant on a new host. Higher is better.
 
 Accuracy is checked in the same run: the resulting test L2 error must be at
 least as good as the notebook-recorded baseline 3.402e-3
@@ -21,11 +21,22 @@ least as good as the notebook-recorded baseline 3.402e-3
 """
 
 import json
+import os
 import sys
 import time
 
-REF_SECONDS = 19.3  # reference end-to-end on this host CPU (see docstring)
+_FALLBACK_REF_SECONDS = 11.42  # scripts/measure_reference.py, 2026-08-19
 BASELINE_L2 = 3.402e-3
+
+
+def _ref_seconds() -> float:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "REF_BASELINE.json")
+    try:
+        with open(path) as f:
+            return float(json.load(f)["elliptic"]["seconds"])
+    except Exception:
+        return _FALLBACK_REF_SECONDS
 
 
 def main():
@@ -94,7 +105,7 @@ def main():
                 "metric": "elliptic2d_e2e_n900_seconds",
                 "value": round(seconds, 4),
                 "unit": "s",
-                "vs_baseline": round(REF_SECONDS / seconds, 2),
+                "vs_baseline": round(_ref_seconds() / seconds, 2),
                 "test_l2": float(f"{err.l2:.4e}"),
                 "accuracy_gate": BASELINE_L2,
             }

@@ -53,12 +53,21 @@ def main():
 
     print("backend:", jax.default_backend(), flush=True)
 
-    def timed(name, fn):
+    import json
+
+    ref_path = Path(__file__).resolve().parent.parent / "REF_BASELINE.json"
+    ref = json.loads(ref_path.read_text()) if ref_path.exists() else {}
+
+    def timed(name, fn, ref_key=None):
         fn()  # warm: compile (persistent-cached)
         t0 = time.perf_counter()
         out = fn()
         dt = time.perf_counter() - t0
-        print(f"[{name}] warm end-to-end {dt:.3f}s  ->  {out}", flush=True)
+        vs = ""
+        if ref_key in ref:
+            vs = (f"  ({ref[ref_key]['seconds']:.1f}s reference CPU -> "
+                  f"{ref[ref_key]['seconds'] / dt:.1f}x)")
+        print(f"[{name}] warm end-to-end {dt:.3f}s{vs}  ->  {out}", flush=True)
 
     k02 = gpt.SquaredExponential.gaussian(0.2)
 
@@ -83,7 +92,7 @@ def main():
             pred.block_until_ready()
             return gpt.GPSolver.errors(pred, truth)
 
-        timed("elliptic 900/124 GN4", run)
+        timed("elliptic 900/124 GN4", run, "elliptic")
 
     if "burgers" in args.only:
         kb = gpt.SquaredExponential.anisotropic([0.3, 0.05])
@@ -106,7 +115,7 @@ def main():
             pred.block_until_ready()
             return gpt.GPSolver.errors(pred, truth)
 
-        timed("burgers 1000/200 GN8", run)
+        timed("burgers 1000/200 GN8", run, "burgers")
 
     if "eikonal" in args.only:
         Xd, Xb = gpt.utils.sample_random(jax.random.PRNGKey(1), 1000, 200)
@@ -120,7 +129,7 @@ def main():
             pred.block_until_ready()
             return gpt.GPSolver.errors(pred, U.ravel())
 
-        timed("eikonal 1000/200 GN8", run)
+        timed("eikonal 1000/200 GN8", run, "eikonal")
 
     if "darcy" in args.only:
         from scipy.interpolate import RegularGridInterpolator
@@ -149,7 +158,7 @@ def main():
             pred.block_until_ready()
             return gpt.GPSolver.errors(pred, Ud.ravel())
 
-        timed("darcy-IP 400/100/60 GN8", run)
+        timed("darcy-IP 400/100/60 GN8", run, "darcy")
 
 
 if __name__ == "__main__":

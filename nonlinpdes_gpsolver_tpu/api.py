@@ -37,7 +37,7 @@ log = logging.getLogger("nonlinpdes_gpsolver_tpu")
 @dataclasses.dataclass
 class SolveResult:
     state: GNState
-    posterior: Posterior
+    posterior: "Posterior"  # or DistributedPosterior on the mesh path
     timers: dict
 
     @property
@@ -50,7 +50,14 @@ class SolveResult:
 
 
 class GPSolver:
-    """Factorizes once, then supports repeated solves / posterior queries."""
+    """Factorizes once, then supports repeated solves / posterior queries.
+
+    Pass ``mesh`` (a ``jax.sharding.Mesh``, e.g. from
+    :func:`..parallel.make_mesh`) to run the memory-bounded distributed path
+    end-to-end: tile-streamed sharded assembly, guarded distributed panel
+    Cholesky, column-sharded/matrix-free Gauss-Newton, distributed
+    posterior. A 1-device mesh is valid (same code path, single chip).
+    """
 
     def __init__(
         self,
@@ -58,13 +65,33 @@ class GPSolver:
         nugget: float = 1e-10,
         nugget_type: str = "adaptive",
         dtype=None,
+        mesh=None,
+        mesh_block: int = 512,
     ):
         self.problem = problem
+        self.mesh = mesh
         self.timers = PhaseTimers()
         with self.timers.phase("factorize"):
-            self.fp: FactoredProblem = factorize(
-                problem, nugget=nugget, nugget_type=nugget_type, dtype=dtype
-            )
+            if mesh is not None:
+                from .solvers.distributed import factorize_distributed
+
+                if dtype is not None:
+                    problem = dataclasses.replace(
+                        problem,
+                        points={
+                            k: jnp.asarray(v, dtype)
+                            for k, v in problem.points.items()
+                        },
+                    )
+                    self.problem = problem
+                self.fp = factorize_distributed(
+                    problem, mesh, nugget=nugget, nugget_type=nugget_type,
+                    block=mesh_block,
+                )
+            else:
+                self.fp = factorize(
+                    problem, nugget=nugget, nugget_type=nugget_type, dtype=dtype
+                )
         for name, scale in self.fp.nugget_scales.items():
             if scale != 1.0:
                 log.warning(
@@ -79,17 +106,31 @@ class GPSolver:
         step_size: float = 1.0,
         z0: Optional[jnp.ndarray] = None,
         hessian_jitter: float = 0.0,
+        step_solver: str = "auto",
     ) -> SolveResult:
         import jax
 
         with self.timers.phase("gauss_newton"):
-            state = gn_solve(
-                self.fp,
-                z0=z0,
-                max_iter=max_iter,
-                step_size=step_size,
-                hessian_jitter=hessian_jitter,
-            )
+            if self.mesh is not None:
+                from .solvers.distributed import gn_solve_distributed
+
+                state = gn_solve_distributed(
+                    self.fp,
+                    z0=z0,
+                    max_iter=max_iter,
+                    step_size=step_size,
+                    hessian_jitter=hessian_jitter,
+                    step_solver=step_solver,
+                )
+            else:
+                state = gn_solve(
+                    self.fp,
+                    z0=z0,
+                    max_iter=max_iter,
+                    step_size=step_size,
+                    hessian_jitter=hessian_jitter,
+                    step_solver=step_solver,
+                )
             # one device->host round trip covers the completion barrier, the
             # finiteness verdict, and the loss history for logging (three
             # separate syncs would each pay full latency on remote backends)
@@ -104,7 +145,12 @@ class GPSolver:
             )
         log.info("problem %r: GN losses %s", self.problem.name, losses)
         with self.timers.phase("posterior_weights"):
-            post = Posterior(self.fp, state.z)
+            if self.mesh is not None:
+                from .solvers.distributed import DistributedPosterior
+
+                post = DistributedPosterior(self.fp, state.z)
+            else:
+                post = Posterior(self.fp, state.z)
         return SolveResult(state=state, posterior=post, timers=self.timers.as_dict())
 
     # -- convenience metrics (reference: src/solver.py:169-194 upstream) ----

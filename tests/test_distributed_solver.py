@@ -216,3 +216,17 @@ def test_distributed_posterior_variance_matches_single_device(eight_devices):
     vs = np.asarray(spost.variance(Xt))
     assert (vd >= 0).all()
     np.testing.assert_allclose(vd, vs, atol=1e-9)
+
+
+def test_gpsolver_facade_mesh_path(eight_devices):
+    """GPSolver(mesh=...) runs the whole distributed pipeline behind the
+    single-device facade: factorize -> GN -> posterior."""
+    prob, u_truth = _elliptic_problem()
+    mesh = make_mesh(8)
+    solver = gpt.GPSolver(prob, nugget=1e-10, mesh=mesh, mesh_block=16)
+    res = solver.solve(max_iter=4)
+    Xt = gpt.utils.test_grid(12, 12)
+    pred = res.posterior.extend(Xt)
+    err = gpt.GPSolver.errors(pred, jax.vmap(u_truth)(Xt))
+    assert err.l2 < 1e-3
+    assert "factorize" in res.timers and "gauss_newton" in res.timers
