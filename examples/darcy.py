@@ -31,6 +31,11 @@ def main():
     add_config_args(parser, defaults)
     parser.add_argument("--N_data", type=int, default=60)
     parser.add_argument("--noise_level", type=float, default=1e-3)
+    parser.add_argument("--mesh", type=int, default=0,
+                        help="run the memory-bounded distributed path on an "
+                             "N-device mesh (1 = same path, single chip)")
+    parser.add_argument("--mesh_block", type=int, default=512)
+    parser.add_argument("--step_solver", type=str, default="auto")
     args = parser.parse_args()
     cfg = config_from_args(args)
     apply_runtime(cfg)
@@ -66,8 +71,15 @@ def main():
         rhs_f=lambda x: 1.0, noise_level=args.noise_level,
         init=cfg.initial, seed=cfg.seed,
     )
-    solver = gpt.GPSolver(prob, nugget=cfg.nugget, nugget_type=cfg.nugget_type)
-    res = solver.solve(max_iter=cfg.GNsteps, step_size=cfg.step_size)
+    mesh = None
+    if args.mesh:
+        from nonlinpdes_gpsolver_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.mesh)
+    solver = gpt.GPSolver(prob, nugget=cfg.nugget, nugget_type=cfg.nugget_type,
+                          mesh=mesh, mesh_block=args.mesh_block)
+    res = solver.solve(max_iter=cfg.GNsteps, step_size=cfg.step_size,
+                       step_solver=args.step_solver)
     print(f"[GN] losses: {res.losses}")
 
     X1, X2 = np.meshgrid(xs, ys)

@@ -189,8 +189,11 @@ def _chol_kernel(local, *, nb: int, B: int, P_: int, axis: str):
     n_pad = nb * B
     p = lax.axis_index(axis)
 
-    # slots per group: ~nbl/12 groups, at least 1 slot
-    c = max(1, -(-nbl // 12))
+    # slots per group: ~8 groups, at least 1 slot. More groups = tighter
+    # trailing windows (fewer wasted flops) but a bigger unrolled program -
+    # the tunneled backend's compile service has failed outright (HTTP 500)
+    # on very large programs, so stay modest.
+    c = max(1, -(-nbl // 8))
     done_slots = 0
     while done_slots < nbl:
         take = min(c, nbl - done_slots)

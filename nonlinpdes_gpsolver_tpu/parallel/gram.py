@@ -56,6 +56,7 @@ def _segments(observables, points) -> Tuple[Tuple[int, int, object], ...]:
 def _assembly_kernel(
     Xrow, Xcols, d_isqrt_pad, *,
     kernel, segs, nb: int, B: int, P_: int, axis: str, n: int,
+    col_chunk: int = 8192,
 ):
     """shard_map body: build this device's (nbl, B, n_pad) equilibrated
     strip of the regularized Gram matrix.
@@ -84,14 +85,21 @@ def _assembly_kernel(
                 m = m | ((row_global >= start) & (row_global < start + size))
         row_masks[op] = m
 
+    # column segments are processed in fixed-size chunks so the per-chunk
+    # evaluation temporary is bounded (~rows x col_chunk) - at the largest
+    # single-chip sizes an unchunked segment temporary alone exceeds HBM
     strip = jnp.zeros((nbl * B, n_pad), Xr.dtype)
     for cstart, csize, cop in segs:
-        Xc = lax.slice_in_dim(Xcols, cstart, cstart + csize, axis=0)
-        acc = jnp.zeros((nbl * B, csize), Xr.dtype)
-        for rop in row_ops:
-            K = _pair_impl(kernel, rop, cop)(Xr, Xc)
-            acc = jnp.where(row_masks[rop][:, None], K, acc)
-        strip = lax.dynamic_update_slice(strip, acc, (0, cstart))
+        for off in range(0, csize, col_chunk):
+            clen = min(col_chunk, csize - off)
+            Xc = lax.slice_in_dim(
+                Xcols, cstart + off, cstart + off + clen, axis=0
+            )
+            acc = jnp.zeros((nbl * B, clen), Xr.dtype)
+            for rop in row_ops:
+                K = _pair_impl(kernel, rop, cop)(Xr, Xc)
+                acc = jnp.where(row_masks[rop][:, None], K, acc)
+            strip = lax.dynamic_update_slice(strip, acc, (0, cstart + off))
 
     dr = d_isqrt_pad[row_global]
     strip = strip * (dr[:, None] * d_isqrt_pad[None, :])
