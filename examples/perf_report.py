@@ -43,6 +43,11 @@ def main():
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     jax.config.update("jax_enable_x64", bool(args.x64))
+    # persistent compile cache: the tunneled-TPU compile service costs
+    # minutes per novel executable; cached ones reload in seconds
+    cache = Path(__file__).resolve().parent.parent / ".jax_cache"
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import nonlinpdes_gpsolver_tpu as gpt
     from nonlinpdes_gpsolver_tpu.solvers import Posterior, factorize, gn_solve

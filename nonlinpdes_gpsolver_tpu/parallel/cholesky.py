@@ -43,7 +43,6 @@ from jax.scipy.linalg import solve_triangular
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.linalg import (
-    unblocked_cholesky,
     unblocked_trsm_lower,
     unblocked_trsm_lower_t,
 )
@@ -118,95 +117,93 @@ def unshard_rows_blockcyclic(
     return blocks.reshape(nb * block, -1)[:n, :n]
 
 
-def _chol_group(view, g0_slot: int, k0: int, G: int, *, B, P_, axis, p):
-    """Factor panels ``k0 .. k0+G`` of the trailing view.
+def _chol_kernel(local, *, nb: int, B: int, P_: int, axis: str,
+                 chunk_cols: int = 4096):
+    """shard_map body: local is (nbl, B, n_pad), factored IN PLACE.
 
-    ``view`` is the statically-sliced trailing submatrix: local slots
-    ``>= g0_slot``, columns ``>= k0*B``. All work in the inner loop touches
-    only this view, which is what keeps the total flop count at the blocked
-    right-looking level instead of full-width updates every panel (a 6x
-    waste measured on round-1's single-window kernel).
+    One ``fori_loop`` over all ``nb`` panels; the loop-carried buffer is the
+    matrix itself (donated by the caller), updated only through
+    ``dynamic_update_slice`` so XLA keeps a single ``n_pad^2/P`` allocation
+    alive - the round-1 grouped-window variant materialized a second
+    trailing-view copy per group and ran out of HBM at N=20k on a 16 GB
+    chip. The trailing rank-``B`` update is applied in fixed-width column
+    chunks (``chunk_cols``), each a bounded ``(n_pad/P, chunk)`` temporary;
+    the chunk loop starts at the panel's own chunk, so total flops stay
+    within ~1.3x of the textbook blocked right-looking count (the partial
+    first chunk is masked, not recomputed).
+
+    Per-panel numerics: precision-true recursive factorization of the
+    diagonal block (VPU rank-1 leaves, HIGHEST-precision dots), then the
+    panel solve ``L_ik = A_ik L_kk^{-T}`` as one batched MXU GEMM against a
+    Newton-refined triangular inverse of ``L_kk`` - substitution row-by-row
+    over the whole panel is memory-bound and was the measured hot spot.
     """
-    nbl_t = view.shape[0]
-    n_t = view.shape[2]
-    g_idx = (jnp.arange(nbl_t) + g0_slot) * P_ + p  # global block rows
+    from ..ops.linalg import _cholesky_rec, _tri_inverse_rec
 
-    def body(k_rel, view):
-        k = k0 + k_rel
-        kB = k_rel * B
-        owner = k % P_
-        slot = k // P_ - g0_slot
-        cand_row = lax.dynamic_index_in_dim(view, slot, 0, keepdims=False)
-        diag_cand = lax.dynamic_slice(cand_row, (0, kB), (B, B))
-        A_kk = lax.all_gather(diag_cand, axis)[owner]
-        # precision-true small factorization + panel solve (native TPU
-        # cholesky/TRSM internals lose bf16-level precision, see ops.linalg)
-        L_kk = unblocked_cholesky(A_kk)
-
-        colk = lax.dynamic_slice(view, (0, 0, kB), (nbl_t, B, B))
-        # L_ik = A_ik L_kk^{-T}  (TRSM from the right)
-        Lcol = jax.vmap(
-            lambda Aik: unblocked_trsm_lower(L_kk, Aik.T).T
-        )(colk)
-        below = (g_idx > k)[:, None, None]
-        diag_here = (g_idx == k)[:, None, None]
-        new_colk = jnp.where(
-            below, Lcol, jnp.where(diag_here, jnp.broadcast_to(L_kk, colk.shape), colk)
-        )
-        view = lax.dynamic_update_slice(view, new_colk, (0, 0, kB))
-
-        # share the finished panel column, zero-masked above the diagonal
-        contrib = jnp.where(below, Lcol, 0.0)
-        gathered = lax.all_gather(contrib, axis)  # (P, nbl_t, B, B)
-        C = gathered.transpose(1, 0, 2, 3).reshape(-1, B)  # (view rows, B)
-
-        # trailing update A_ij -= L_ik L_jk^T for rows below, columns > k
-        colmask = jnp.arange(n_t) >= kB + B
-        update = jnp.einsum(
-            "sbc,nc->sbn", Lcol, C,
-            preferred_element_type=Lcol.dtype,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        update = jnp.where(below & colmask[None, None, :], update, 0.0)
-        return view - update
-
-    return lax.fori_loop(0, G, body, view)
-
-
-def _chol_kernel(local, *, nb: int, B: int, P_: int, axis: str):
-    """shard_map body: local is (nbl, B, n_pad).
-
-    Panels are processed in groups of ``G`` (a multiple of ``P_`` so every
-    device finishes the same whole slots); each group operates on a
-    *statically sliced* trailing view, so the rank-B updates shrink with the
-    remaining submatrix - the asymptotic flop count is the textbook blocked
-    right-looking one (2x for the unexploited symmetry), not full-width
-    every panel. The static python loop over groups unrolls ~nb/G copies of
-    the group body into the HLO; slots-per-group is chosen to keep that
-    around a dozen.
-    """
     nbl = nb // P_
     n_pad = nb * B
     p = lax.axis_index(axis)
+    g_idx = jnp.arange(nbl) * P_ + p
+    leaf = min(B, 128)
+    Wb = min(nb, max(1, chunk_cols // B))   # block-columns per update chunk
+    Wc = Wb * B
+    nch = -(-nb // Wb)
+    hi = jax.lax.Precision.HIGHEST
 
-    # slots per group: ~8 groups, at least 1 slot. More groups = tighter
-    # trailing windows (fewer wasted flops) but a bigger unrolled program -
-    # the tunneled backend's compile service has failed outright (HTTP 500)
-    # on very large programs, so stay modest.
-    c = max(1, -(-nbl // 8))
-    done_slots = 0
-    while done_slots < nbl:
-        take = min(c, nbl - done_slots)
-        g0 = done_slots
-        k0 = g0 * P_
-        G = take * P_
-        view = local[g0:, :, k0 * B:]
-        view = _chol_group(view, g0, k0, G, B=B, P_=P_, axis=axis, p=p)
-        local = local.at[g0:, :, k0 * B:].set(view)
-        done_slots += take
+    def body(k, local):
+        kB = k * B
+        owner = k % P_
+        slot = k // P_
+        cand_row = lax.dynamic_index_in_dim(local, slot, 0, keepdims=False)
+        diag_cand = lax.dynamic_slice(cand_row, (0, kB), (B, B))
+        A_kk = lax.all_gather(diag_cand, axis)[owner]
+        # precision-true small factorization (native TPU cholesky/TRSM
+        # internals lose bf16-level precision, see ops.linalg)
+        L_kk = _cholesky_rec(A_kk, leaf)
+        # refined inverse: one Newton step squares the f32 inverse residual,
+        # keeping the GEMM panel solve as accurate as substitution
+        W_kk = _tri_inverse_rec(L_kk, leaf)
+        E = jnp.eye(B, dtype=local.dtype) - jnp.matmul(W_kk, L_kk, precision=hi)
+        W_kk = W_kk + jnp.matmul(E, W_kk, precision=hi)
+
+        colk = lax.dynamic_slice(local, (0, 0, kB), (nbl, B, B))
+        # L_ik = A_ik L_kk^{-T} = A_ik W_kk^T - batched GEMM on the MXU
+        Lcol = jnp.einsum("sbc,dc->sbd", colk, W_kk,
+                          preferred_element_type=local.dtype, precision=hi)
+        below = (g_idx > k)[:, None, None]
+        diag_here = (g_idx == k)[:, None, None]
+        new_colk = jnp.where(
+            below, Lcol,
+            jnp.where(diag_here, jnp.broadcast_to(L_kk, colk.shape), colk),
+        )
+        local = lax.dynamic_update_slice(local, new_colk, (0, 0, kB))
+
+        # share the finished panel column, zero-masked above the diagonal
+        contrib = jnp.where(below, Lcol, 0.0)
+        gathered = lax.all_gather(contrib, axis)  # (P, nbl, B, B)
+        C = gathered.transpose(1, 0, 2, 3).reshape(n_pad, B)
+
+        # trailing update A_ij -= L_ik L_jk^T, rows below, columns > kB+B,
+        # in bounded column chunks updated in place. The last chunk's start
+        # is clamped to keep a static width; the logical-range mask keeps
+        # the clamped overlap from double-updating.
+        def chunk_body(c, local):
+            start = jnp.minimum(c * Wb, nb - Wb) * B
+            cols = start + jnp.arange(Wc)
+            colmask = (cols >= (c * Wc)) & (cols >= kB + B) & (cols < (c + 1) * Wc)
+            Cc = lax.dynamic_slice(C, (start, 0), (Wc, B))
+            upd = jnp.einsum("sbc,nc->sbn", Lcol, Cc,
+                             preferred_element_type=local.dtype, precision=hi)
+            upd = jnp.where(below & colmask[None, None, :], upd, 0.0)
+            tile = lax.dynamic_slice(local, (0, 0, start), (nbl, B, Wc)) - upd
+            return lax.dynamic_update_slice(local, tile, (0, 0, start))
+
+        c0 = (k + 1) // Wb
+        return lax.fori_loop(c0, nch, chunk_body, local)
+
+    local = lax.fori_loop(0, nb, body, local)
 
     # zero the strictly-upper remnants so the result is a clean lower factor
-    g_idx = jnp.arange(nbl) * P_ + p
     row_global = g_idx[:, None] * B + jnp.arange(B)[None, :]
     keep = jnp.arange(n_pad)[None, None, :] <= row_global[:, :, None]
     return jnp.where(keep, local, 0.0)
@@ -225,6 +222,7 @@ def _chol_sharded(arranged, mesh: Mesh, axis: str, block: int):
         mesh=mesh,
         in_specs=P(axis, None, None),
         out_specs=P(axis, None, None),
+        check_vma=False,
     )
     return fn(arranged)
 
