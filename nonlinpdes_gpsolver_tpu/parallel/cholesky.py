@@ -262,16 +262,21 @@ def _matvec_kernel(local, v, *, nb: int, B: int, P_: int, axis: str):
 
 def _matvec_t_kernel(local, v, *, nb: int, B: int, P_: int, axis: str):
     """``y = A^T v``: every device contracts its rows against its slice of
-    ``v`` and one ``psum`` combines the partial results."""
+    ``v`` and one ``psum`` combines the partial results.
+
+    Written as the canonical GEMV ``v_flat @ local_2d`` (contraction over
+    the rhs ROW dimension), NOT an einsum over the block axes: XLA lowers
+    ``sbn,sb->n`` by materializing a transposed copy of ``local`` (a full
+    n_pad^2/P temporary - measured 6.9 GB at N=20k), while the row-major
+    GEMV is a single memory-bound pass."""
     p = lax.axis_index(axis)
     nbl = nb // P_
     g_idx = jnp.arange(nbl) * P_ + p
     v_my = jax.vmap(lambda g: lax.dynamic_slice(v, (g * B,), (B,)))(g_idx)
-    part = jnp.einsum(
-        "sbn,sb->n", local, v_my,
-        preferred_element_type=v.dtype,
+    part = jnp.matmul(
+        v_my.reshape(1, nbl * B), local.reshape(nbl * B, nb * B),
         precision=jax.lax.Precision.HIGHEST,
-    )
+    )[0]
     return lax.psum(part, axis)
 
 

@@ -54,13 +54,16 @@ def _segments(observables, points) -> Tuple[Tuple[int, int, object], ...]:
 
 
 def _assembly_kernel(
-    Xrow, Xcols, d_isqrt_pad, *,
+    out, Xrow, Xcols, d_isqrt_pad, *,
     kernel, segs, nb: int, B: int, P_: int, axis: str, n: int,
     col_chunk: int = 8192,
 ):
     """shard_map body: build this device's (nbl, B, n_pad) equilibrated
-    strip of the regularized Gram matrix.
+    strip of the regularized Gram matrix, written IN PLACE into the
+    donated ``out`` shard (every element is covered by exactly one chunk
+    or the padding-tail write, so the incoming contents never matter).
 
+    ``out`` (nbl, B, n_pad): this device's donated output shard.
     ``Xrow`` (nbl, B, d): this device's block-cyclic row coordinates.
     ``Xcols`` (n_pad, d), ``d_isqrt_pad`` (n_pad,): replicated.
     """
@@ -85,33 +88,59 @@ def _assembly_kernel(
                 m = m | ((row_global >= start) & (row_global < start + size))
         row_masks[op] = m
 
-    # column segments are processed in fixed-size chunks so the per-chunk
+    # Column segments are processed in fixed-size chunks so the per-chunk
     # evaluation temporary is bounded (~rows x col_chunk) - at the largest
-    # single-chip sizes an unchunked segment temporary alone exceeds HBM
-    strip = jnp.zeros((nbl * B, n_pad), Xr.dtype)
+    # single-chip sizes an unchunked segment temporary alone exceeds HBM.
+    # Equilibration and the unit diagonal are applied PER CHUNK before the
+    # buffer write, and the chunk loop is a ``fori_loop`` carrying the
+    # donated output buffer: XLA aliases while-loop carries in place, where
+    # an unrolled dynamic_update_slice chain kept a full second copy alive
+    # (measured 13.8 GB temp at N=20k by compiled memory_analysis - the
+    # difference between fitting and OOM on a 16 GB chip). The last chunk's
+    # start is clamped; the overlap recomputes identical values, so the
+    # overwrite is harmless.
+    dr = d_isqrt_pad[row_global]
+    one = jnp.asarray(1.0, Xr.dtype)
+    dim = Xcols.shape[1]
     for cstart, csize, cop in segs:
-        for off in range(0, csize, col_chunk):
-            clen = min(col_chunk, csize - off)
-            Xc = lax.slice_in_dim(
-                Xcols, cstart + off, cstart + off + clen, axis=0
-            )
-            acc = jnp.zeros((nbl * B, clen), Xr.dtype)
+        W_s = min(col_chunk, csize)
+        nch = -(-csize // W_s)
+
+        def chunk_body(c, out, cstart=cstart, csize=csize, cop=cop, W_s=W_s):
+            off = jnp.minimum(c * W_s, csize - W_s)
+            c0 = cstart + off
+            Xc = lax.dynamic_slice(Xcols, (c0, 0), (W_s, dim))
+            acc = jnp.zeros((nbl * B, W_s), Xr.dtype)
             for rop in row_ops:
                 K = _pair_impl(kernel, rop, cop)(Xr, Xc)
                 acc = jnp.where(row_masks[rop][:, None], K, acc)
-            strip = lax.dynamic_update_slice(strip, acc, (0, cstart + off))
+            dc = lax.dynamic_slice(d_isqrt_pad, (c0,), (W_s,))
+            acc = acc * (dr[:, None] * dc[None, :])
+            on_diag = (c0 + jnp.arange(W_s))[None, :] == row_global[:, None]
+            acc = jnp.where(on_diag, one, acc)
+            return lax.dynamic_update_slice(
+                out, acc.reshape(nbl, B, W_s), (0, 0, c0)
+            )
 
-    dr = d_isqrt_pad[row_global]
-    strip = strip * (dr[:, None] * d_isqrt_pad[None, :])
-    # unit equilibrated diagonal; also the identity tail on padding rows
-    # (pad rows matched no operator mask, so they are zero elsewhere)
-    on_diag = jnp.arange(n_pad)[None, :] == row_global[:, None]
-    strip = jnp.where(on_diag, jnp.asarray(1.0, strip.dtype), strip)
-    return strip.reshape(nbl, B, n_pad)
+        out = lax.fori_loop(0, nch, chunk_body, out)
+
+    # identity tail on the padding columns (pad rows matched no operator
+    # mask, so everything else on them is zero from the chunk writes)
+    if n_pad > n:
+        tail_cols = n + jnp.arange(n_pad - n)
+        tail = jnp.where(
+            tail_cols[None, :] == row_global[:, None], one,
+            jnp.asarray(0.0, Xr.dtype),
+        )
+        out = lax.dynamic_update_slice(
+            out, tail.reshape(nbl, B, n_pad - n), (0, 0, n)
+        )
+    return out
 
 
-@partial(jax.jit, static_argnums=(0, 1, 4, 5, 6, 7, 8))
+@partial(jax.jit, static_argnums=(1, 2, 5, 6, 7, 8, 9), donate_argnums=(0,))
 def _assemble_arranged(
+    out,
     kernel,
     observables,
     points,
@@ -180,11 +209,13 @@ def _assemble_arranged(
             axis=axis, n=n,
         ),
         mesh=mesh,
-        in_specs=(P(axis, None, None), P(None, None), P(None)),
+        in_specs=(
+            P(axis, None, None), P(axis, None, None), P(None, None), P(None),
+        ),
         out_specs=P(axis, None, None),
         check_vma=False,
     )
-    arranged = fn(Xrow, X_pad, d_isqrt_pad)
+    arranged = fn(out, Xrow, X_pad, d_isqrt_pad)
     return arranged, d_isqrt
 
 
@@ -205,9 +236,24 @@ def assemble_gram_sharded(
     ``nugget_scale`` is a *traced* multiplier on the nugget so the
     distributed factorization's escalation retry loop reuses one compiled
     executable (mirrors :func:`..solvers.gn._equilibrated_cholesky`).
+
+    The output shard is allocated here (directly on the devices) and
+    DONATED into the assembly executable, which overwrites every element
+    in place - without the donation XLA keeps both a working copy and the
+    output alive (measured 2x n_pad^2/P peak at N=20k, an OOM on 16 GB).
     """
     pts = {k: jnp.asarray(v) for k, v in points.items()}
+    observables = tuple(observables)
+    n = sum(int(pts[o.points].shape[0]) for o in observables)
+    dtype = jnp.result_type(*(pts[o.points] for o in observables))
+    P_ = mesh.shape[axis]
+    n_pad = pad_to_blocks(n, block, P_)
+    nb = n_pad // block
+    sharding = NamedSharding(mesh, P(axis, None, None))
+    out = jax.jit(
+        lambda: jnp.zeros((nb, block, n_pad), dtype), out_shardings=sharding
+    )()
     return _assemble_arranged(
-        kernel, tuple(observables), pts, jnp.asarray(nugget_scale),
+        out, kernel, observables, pts, jnp.asarray(nugget_scale),
         nugget_type, nugget, mesh, axis, block,
     )

@@ -133,7 +133,12 @@ def factorize_distributed(
         # nuggets below a few ulps are no regularization at all.
         s = max(1.0, (4.0 * eps) / max(nugget, 1e-300))
         attempts = max_attempts if guard else 1
+        fac = None
         for _ in range(attempts):
+            # drop a failed attempt's factor BEFORE re-assembling: holding
+            # the old n_pad^2/P shard across the retry's assembly doubles
+            # peak HBM and OOMs exactly when escalation triggers at scale
+            fac = None
             arranged, d_isqrt = assemble_gram_sharded(
                 b.kernel, b.observables, problem.points, mesh,
                 axis=axis, block=block, nugget=nugget,

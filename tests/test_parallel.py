@@ -153,19 +153,31 @@ def test_sharded_assembly_memory_is_shard_sized(eight_devices):
     mesh = make_mesh(8)
     pts = {k: jnp.asarray(v) for k, v in prob.points.items()}
     block = 16
-    compiled = _assemble_arranged.lower(
-        b.kernel, tuple(b.observables), pts, jnp.asarray(1.0),
-        "adaptive", 1e-9, mesh, "p", block,
-    ).compile()
-    stats = compiled.memory_analysis()
     n = sum(prob.points[o.points].shape[0] for o in b.observables)
+    from jax.sharding import NamedSharding, PartitionSpec as P
     from nonlinpdes_gpsolver_tpu.parallel.cholesky import pad_to_blocks
 
     n_pad = pad_to_blocks(n, block, 8)
+    nb = n_pad // block
     itemsize = np.dtype(np.asarray(Xd).dtype).itemsize
+    out = jax.ShapeDtypeStruct(
+        (nb, block, n_pad), np.asarray(Xd).dtype,
+        sharding=NamedSharding(mesh, P("p", None, None)),
+    )
+    compiled = _assemble_arranged.lower(
+        out, b.kernel, tuple(b.observables), pts, jnp.asarray(1.0),
+        "adaptive", 1e-9, mesh, "p", block,
+    ).compile()
+    stats = compiled.memory_analysis()
     shard_bytes = n_pad * n_pad * itemsize // 8
     full_bytes = n_pad * n_pad * itemsize
-    per_device = stats.output_size_in_bytes + stats.temp_size_in_bytes
+    # the output shard is donated: it aliases the input buffer, so the
+    # executable's *new* footprint is output + temps - alias
+    per_device = (
+        stats.output_size_in_bytes + stats.temp_size_in_bytes
+        - stats.alias_size_in_bytes
+    )
+    assert stats.alias_size_in_bytes > 0, "output donation must alias"
     assert per_device < 3 * shard_bytes + 1_000_000, (
         f"per-device {per_device} vs shard {shard_bytes}"
     )
