@@ -53,6 +53,7 @@ from ..parallel.cholesky import (
     BlockCyclicFactor,
     _chol_sharded,
     _trsm_kernel,
+    _trsm_t_kernel,
     kernel_solve_blockcyclic,
     matvec_blockcyclic,
     trsm_blockcyclic,
@@ -183,7 +184,15 @@ def factorize_distributed(
 
 
 # --------------------------------------------------------------------------
-# direct (column-sharded panel) step
+# the full GN scan as ONE shard_map region
+#
+# Every distributed solve the scan needs (whitened residuals, kernel solves,
+# Jacobian-panel whitening) calls the TRSM *kernels* directly on the factor
+# shards, which enter the region once as parameters. Routing each solve
+# through its own shard_map (the round-1 structure) made GSPMD materialize a
+# full-to-shard conversion copy of the n_pad^2/P factor per call site -
+# measured three simultaneous 6.9 GB allocations inside the compiled scan at
+# N=20k, an OOM on a 16 GB chip.
 # --------------------------------------------------------------------------
 
 
@@ -246,112 +255,130 @@ def _panel_kernel(localLs, d_pads, z, data, *, spec, m, mloc, P_, axis, blocks_m
     return Hcol, g_local
 
 
-def _gn_direct_delta(fp: DistributedFactoredProblem, z, spec, hessian_jitter):
-    """One direct GN normal solve with column-sharded panels."""
-    p = fp.problem
-    mesh = next(iter(fp.factors.values())).mesh
-    axis = next(iter(fp.factors.values())).axis
-    P_ = mesh.shape[axis]
-    m = z.shape[0]
-    mloc = -(-m // P_)
+def _whiten_vec(localL, d_pad, r, meta, P_, axis):
+    """In-region whitened residual ``L^{-1} D^{-1/2} r`` for one block."""
+    n_b, n_pad, B, nb = meta
+    rp = jnp.pad(r * d_pad[:n_b], (0, n_pad - n_b))[:, None]
+    return _trsm_kernel(localL, rp, nb=nb, B=B, P_=P_, axis=axis)[:n_b, 0]
+
+
+def _kernel_solve_vec(localL, d_pad, v, meta, P_, axis):
+    """In-region ``Theta^{-1} v`` through the equilibrated sharded factor."""
+    n_b, n_pad, B, nb = meta
+    vp = jnp.pad(v * d_pad[:n_b], (0, n_pad - n_b))[:, None]
+    y = _trsm_kernel(localL, vp, nb=nb, B=B, P_=P_, axis=axis)
+    y = _trsm_t_kernel(localL, y, nb=nb, B=B, P_=P_, axis=axis)
+    return y[:n_b, 0] * d_pad[:n_b]
+
+
+def _gn_scan_kernel(
+    localLs, d_pads, z0, data, *,
+    spec, blocks_meta, P_, axis, max_iter, step_size, solver,
+    hessian_jitter, cg_tol, cg_maxiter, m, mloc,
+):
+    """shard_map body: the ENTIRE Gauss-Newton scan.
+
+    ``localLs``: per-block factor shards (nbl, B, n_pad); ``d_pads``:
+    padded equilibration vectors (replicated); ``z0``/``data`` replicated.
+    Latent-sized quantities are computed redundantly on every device (they
+    are O(n)); only factor-sized state is sharded.
+    """
     m_pad = mloc * P_
 
-    blocks_meta = []
-    localLs = []
-    d_pads = []
-    for name, _ in spec[0]:
-        fac = fp.factors[name]
-        d = fp.col_scales[name]
-        d_pads.append(
-            jnp.concatenate([d, jnp.ones(fac.n_pad - fac.n, d.dtype)])
+    def whitened_residual(z):
+        parts = [
+            _whiten_vec(L, d, rfn(z, data), bm, P_, axis)
+            for (name, rfn), L, d, bm in zip(
+                spec[0], localLs, d_pads, blocks_meta
+            )
+        ]
+        for rfn, w in spec[1]:
+            parts.append(jnp.sqrt(jnp.asarray(w, z0.dtype)) * rfn(z, data))
+        return jnp.concatenate(parts)
+
+    def cg_delta(z):
+        """Matrix-free normal solve: each operator application is one JVP,
+        one forward+transpose triangular-solve pair on a vector, one VJP -
+        O(n) memory per device at any latent dimension."""
+        lins = []
+        for (name, rfn), L, d, bm in zip(
+            spec[0], localLs, d_pads, blocks_meta
+        ):
+            f = lambda zz, _r=rfn: _r(zz, data)
+            F, jvp = jax.linearize(f, z)
+            _, vjp = jax.vjp(f, z)
+            lins.append(((L, d, bm), F, jvp, vjp))
+        mis = []
+        for rfn, w in spec[1]:
+            f = lambda zz, _r=rfn: _r(zz, data)
+            F, jvp = jax.linearize(f, z)
+            _, vjp = jax.vjp(f, z)
+            mis.append((w, F, jvp, vjp))
+
+        def Kinv(key, v):
+            L, d, bm = key
+            return _kernel_solve_vec(L, d, v, bm, P_, axis)
+
+        g = jnp.zeros_like(z)
+        for key, F, jvp, vjp in lins:
+            g = g + vjp(Kinv(key, F))[0]
+        for w, F, jvp, vjp in mis:
+            g = g + w * vjp(F)[0]
+
+        def normal_op(v):
+            out = hessian_jitter * v if hessian_jitter else jnp.zeros_like(v)
+            for key, F, jvp, vjp in lins:
+                out = out + vjp(Kinv(key, jvp(v)))[0]
+            for w, F, jvp, vjp in mis:
+                out = out + w * vjp(jvp(v))[0]
+            return out
+
+        delta, _ = jax.scipy.sparse.linalg.cg(
+            normal_op, g, tol=cg_tol, maxiter=cg_maxiter
         )
-        localLs.append(fac.local)
-        blocks_meta.append((fac.n, fac.n_pad, fac.block, fac.n_pad // fac.block))
+        return delta
 
     # the padded latent tail must not influence residuals: residual
     # functions see the unpadded z, so the extra basis columns push forward
     # zero tangents and their J columns (hence H rows/cols) are zero.
     def spec_wrap(residual):
-        return lambda zz, data: residual(zz[:m], data)
+        return lambda zz, dd: residual(zz[:m], dd)
 
-    wrapped = (
+    wspec = (
         tuple((name, spec_wrap(rfn)) for name, rfn in spec[0]),
         tuple((spec_wrap(rfn), w) for rfn, w in spec[1]),
     )
 
-    z_pad = jnp.pad(z, (0, m_pad - m))
-    fn = shard_map(
-        partial(
-            _panel_kernel,
-            spec=wrapped, m=m_pad, mloc=mloc, P_=P_, axis=axis,
-            blocks_meta=tuple(blocks_meta),
-        ),
-        mesh=mesh,
-        in_specs=(
-            tuple(P(axis, None, None) for _ in localLs),
-            tuple(P(None) for _ in d_pads),
-            P(None),
-            P(),
-        ),
-        out_specs=(P(None, axis), P(axis)),
-        check_vma=False,
+    def direct_delta(z):
+        z_pad = jnp.pad(z, (0, m_pad - m))
+        Hcol, g_local = _panel_kernel(
+            localLs, d_pads, z_pad, data,
+            spec=wspec, m=m_pad, mloc=mloc, P_=P_, axis=axis,
+            blocks_meta=blocks_meta,
+        )
+        # Hcol (m_pad, mloc) column-sharded -> replicated H; the (n x m)
+        # whitened Jacobian panel itself is never replicated
+        H = lax.all_gather(Hcol, axis).transpose(1, 0, 2).reshape(m_pad, m_pad)
+        g = lax.all_gather(g_local, axis).reshape(m_pad)
+        if m_pad > m:
+            pad_ids = jnp.arange(m, m_pad)
+            H = H.at[pad_ids, pad_ids].add(1.0)
+        return spd_solve(H, g, jitter=hessian_jitter)[:m]
+
+    def step(carry, _):
+        z, ok = carry
+        delta = direct_delta(z) if solver == "direct" else cg_delta(z)
+        z_new = z - step_size * delta
+        finite = jnp.all(jnp.isfinite(z_new))
+        z_next = jnp.where(finite, z_new, z)
+        ok = jnp.logical_and(ok, finite)
+        r = whitened_residual(z_next)
+        return (z_next, ok), jnp.dot(r, r)
+
+    (z_final, ok), losses = lax.scan(
+        step, (z0, jnp.asarray(True)), None, length=max_iter
     )
-    H, g = fn(tuple(localLs), tuple(d_pads), z_pad, p.data)
-    # H is (m_pad, m_pad) column-sharded; unit diagonal on the zero padding
-    # rows/cols keeps it SPD. GSPMD gathers it for the replicated solve -
-    # the (n x m) whitened Jacobian panel itself was never replicated.
-    if m_pad > m:
-        pad_ids = jnp.arange(m, m_pad)
-        H = H.at[pad_ids, pad_ids].add(1.0)
-    delta = spd_solve(H, g, jitter=hessian_jitter)
-    return delta[:m]
-
-
-# --------------------------------------------------------------------------
-# matrix-free CG step
-# --------------------------------------------------------------------------
-
-
-def _gn_cg_delta(fp, z, spec, hessian_jitter, cg_tol, cg_maxiter):
-    """Matrix-free GN normal solve: every operator application is one JVP +
-    one distributed forward/transpose triangular-solve pair + one VJP."""
-    p = fp.problem
-    lins = []
-    for name, residual in spec[0]:
-        f = lambda zz, _r=residual: _r(zz, p.data)
-        F, jvp = jax.linearize(f, z)
-        _, vjp = jax.vjp(f, z)
-        lins.append(("block", name, F, jvp, vjp))
-    for residual, weight in spec[1]:
-        f = lambda zz, _r=residual: _r(zz, p.data)
-        F, jvp = jax.linearize(f, z)
-        _, vjp = jax.vjp(f, z)
-        lins.append(("misfit", weight, F, jvp, vjp))
-
-    def apply_Kinv(name, v):
-        return fp.kernel_solve(name, v)
-
-    g = jnp.zeros_like(z)
-    for kind, key, F, jvp, vjp in lins:
-        if kind == "block":
-            g = g + vjp(apply_Kinv(key, F))[0]
-        else:
-            g = g + key * vjp(F)[0]
-
-    def normal_op(v):
-        out = hessian_jitter * v if hessian_jitter else jnp.zeros_like(v)
-        for kind, key, F, jvp, vjp in lins:
-            t = jvp(v)
-            if kind == "block":
-                out = out + vjp(apply_Kinv(key, t))[0]
-            else:
-                out = out + key * vjp(t)[0]
-        return out
-
-    delta, _ = jax.scipy.sparse.linalg.cg(
-        normal_op, g, tol=cg_tol, maxiter=cg_maxiter
-    )
-    return delta
+    return z_final, losses, ok
 
 
 # --------------------------------------------------------------------------
@@ -394,54 +421,51 @@ def gn_solve_distributed(
         tuple((b.name, b.residual) for b in p.blocks),
         tuple((m.residual, float(m.weight)) for m in p.misfits),
     )
-    # the factor shards and equilibration vectors are threaded through jit
-    # as ARGUMENTS (rebuilt into a DistributedFactoredProblem inside the
-    # trace from static metadata) - closing over them would embed hundreds
-    # of MB of factor data as HLO constants, which the remote-compile
-    # backend rejects outright (HTTP 413) and which would bloat any
-    # compile cache. Mirrors the arrays/spec split of gn._gn_scan.
-    fac_meta = tuple(
-        (name, fac.mesh, fac.axis, fac.block, fac.n, fac.n_pad)
-        for name, fac in fp.factors.items()
+    # ordered per spec[0]: factor shards, padded equilibration vectors,
+    # static block geometry
+    localLs = []
+    d_pads = []
+    blocks_meta = []
+    for name, _ in spec[0]:
+        fac = fp.factors[name]
+        d = fp.col_scales[name]
+        d_pads.append(jnp.concatenate([d, jnp.ones(fac.n_pad - fac.n, d.dtype)]))
+        localLs.append(fac.local)
+        blocks_meta.append((fac.n, fac.n_pad, fac.block, fac.n_pad // fac.block))
+    fac0 = next(iter(fp.factors.values()))
+    mesh, axis = fac0.mesh, fac0.axis
+    P_ = mesh.shape[axis]
+    m = z.shape[0]
+    mloc = -(-m // P_)
+
+    # The whole scan is ONE shard_map region (see the section comment
+    # above), jitted with the factor shards threaded as ARGUMENTS - closing
+    # over them would embed GBs of factor data as HLO constants, which the
+    # remote-compile backend rejects outright (HTTP 413) and which would
+    # bloat any compile cache. Mirrors the arrays/spec split of gn._gn_scan.
+    kern = partial(
+        _gn_scan_kernel,
+        spec=spec, blocks_meta=tuple(blocks_meta), P_=P_, axis=axis,
+        max_iter=max_iter, step_size=step_size, solver=step_solver,
+        hessian_jitter=hessian_jitter, cg_tol=cg_tol, cg_maxiter=cg_maxiter,
+        m=m, mloc=mloc,
     )
-    locals_ = {name: fp.factors[name].local for name, *_ in fac_meta}
-
-    @partial(jax.jit, static_argnames=("meta",))
-    def run(z, locals_, scales, data, meta):
-        factors = {
-            name: BlockCyclicFactor(
-                local=locals_[name], mesh=mesh, axis=axis, block=block,
-                n=n, n_pad=n_pad,
-            )
-            for name, mesh, axis, block, n, n_pad in meta
-        }
-        fpt = DistributedFactoredProblem(
-            problem=dataclasses.replace(p, data=data),
-            factors=factors,
-            col_scales=scales,
-            nugget_scales=fp.nugget_scales,
+    data_specs = jax.tree.map(lambda _: P(), p.data)
+    fn = jax.jit(
+        shard_map(
+            kern,
+            mesh=mesh,
+            in_specs=(
+                tuple(P(axis, None, None) for _ in localLs),
+                tuple(P(None) for _ in d_pads),
+                P(None),
+                data_specs,
+            ),
+            out_specs=(P(None), P(None), P()),
+            check_vma=False,
         )
-
-        def step(carry, _):
-            zc, ok = carry
-            if step_solver == "direct":
-                delta = _gn_direct_delta(fpt, zc, spec, hessian_jitter)
-            else:
-                delta = _gn_cg_delta(
-                    fpt, zc, spec, hessian_jitter, cg_tol, cg_maxiter
-                )
-            z_new = zc - step_size * delta
-            finite = jnp.all(jnp.isfinite(z_new))
-            z_next = jnp.where(finite, z_new, zc)
-            ok = jnp.logical_and(ok, finite)
-            return (z_next, ok), fpt.loss(z_next)
-
-        (z_final, ok), losses = jax.lax.scan(
-            step, (z, jnp.asarray(True)), None, length=max_iter
-        )
-        return z_final, losses, ok
-
-    z_final, losses, ok = run(z, locals_, dict(fp.col_scales), p.data, fac_meta)
+    )
+    z_final, losses, ok = fn(tuple(localLs), tuple(d_pads), z, p.data)
     return GNState(z=z_final, losses=losses, converged_finite=ok)
 
 
