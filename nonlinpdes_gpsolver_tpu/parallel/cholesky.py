@@ -42,10 +42,6 @@ from jax import shard_map
 from jax.scipy.linalg import solve_triangular
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.linalg import (
-    unblocked_trsm_lower,
-    unblocked_trsm_lower_t,
-)
 
 
 def pad_to_blocks(n: int, block: int, n_dev: int) -> int:
@@ -67,7 +63,18 @@ def _block_perm(nb: int, P_: int) -> np.ndarray:
 
 @dataclasses.dataclass
 class BlockCyclicFactor:
-    """Lower Cholesky factor in sharded block-cyclic row layout."""
+    """Lower Cholesky factor in sharded block-cyclic row layout.
+
+    ``diag_inv`` holds the Newton-refined inverse of every B x B diagonal
+    block (replicated, (nb, B, B) in global panel order). The triangular
+    solves consume it so each panel step is one GEMM instead of B
+    sequential substitution rows - the substitution's sequential depth is
+    ``n`` (pure latency, ~1 us per row on TPU), the inverse-multiply's is
+    ``nb``. It is produced for free by the factorization (which already
+    inverts each diagonal block for its own panel solve); use
+    :func:`diag_inverses` to reconstruct it for a factor loaded without
+    one (e.g. from a round-1 checkpoint).
+    """
 
     local: jax.Array  # (nb, B, n_pad) array sharded over axis 0 by 'p'
     mesh: Mesh
@@ -75,6 +82,7 @@ class BlockCyclicFactor:
     block: int
     n: int      # original (unpadded) size
     n_pad: int
+    diag_inv: jax.Array | None = None  # (nb, B, B) replicated
 
     def dense(self) -> jnp.ndarray:
         """Gather to a replicated dense (n, n) lower factor (tests only)."""
@@ -150,7 +158,8 @@ def _chol_kernel(local, *, nb: int, B: int, P_: int, axis: str,
     nch = -(-nb // Wb)
     hi = jax.lax.Precision.HIGHEST
 
-    def body(k, local):
+    def body(k, carry):
+        local, winvs = carry
         kB = k * B
         owner = k % P_
         slot = k // P_
@@ -165,6 +174,7 @@ def _chol_kernel(local, *, nb: int, B: int, P_: int, axis: str,
         W_kk = _tri_inverse_rec(L_kk, leaf)
         E = jnp.eye(B, dtype=local.dtype) - jnp.matmul(W_kk, L_kk, precision=hi)
         W_kk = W_kk + jnp.matmul(E, W_kk, precision=hi)
+        winvs = lax.dynamic_update_slice(winvs, W_kk[None], (k, 0, 0))
 
         colk = lax.dynamic_slice(local, (0, 0, kB), (nbl, B, B))
         # L_ik = A_ik L_kk^{-T} = A_ik W_kk^T - batched GEMM on the MXU
@@ -199,14 +209,16 @@ def _chol_kernel(local, *, nb: int, B: int, P_: int, axis: str,
             return lax.dynamic_update_slice(local, tile, (0, 0, start))
 
         c0 = (k + 1) // Wb
-        return lax.fori_loop(c0, nch, chunk_body, local)
+        local = lax.fori_loop(c0, nch, chunk_body, local)
+        return local, winvs
 
-    local = lax.fori_loop(0, nb, body, local)
+    winvs0 = jnp.zeros((nb, B, B), local.dtype)
+    local, winvs = lax.fori_loop(0, nb, body, (local, winvs0))
 
     # zero the strictly-upper remnants so the result is a clean lower factor
     row_global = g_idx[:, None] * B + jnp.arange(B)[None, :]
     keep = jnp.arange(n_pad)[None, None, :] <= row_global[:, :, None]
-    return jnp.where(keep, local, 0.0)
+    return jnp.where(keep, local, 0.0), winvs
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3), donate_argnums=(0,))
@@ -214,17 +226,50 @@ def _chol_sharded(arranged, mesh: Mesh, axis: str, block: int):
     """Factor in place: ``arranged`` is donated, so at scale the peak
     per-device footprint is one n_pad^2/P shard plus panel temporaries (the
     caller must take any probe matvec against the unfactored matrix *before*
-    this call)."""
+    this call). Returns ``(lower_factor_shards, diag_inverses)``."""
     nb = arranged.shape[0]
     P_ = mesh.shape[axis]
     fn = shard_map(
         partial(_chol_kernel, nb=nb, B=block, P_=P_, axis=axis),
         mesh=mesh,
         in_specs=P(axis, None, None),
-        out_specs=P(axis, None, None),
+        out_specs=(P(axis, None, None), P(None, None, None)),
         check_vma=False,
     )
     return fn(arranged)
+
+
+def diag_inverses(local, mesh: Mesh, axis: str, block: int) -> jax.Array:
+    """(Re)build the replicated (nb, B, B) refined diagonal-block inverses
+    from a finished factor - for factors that arrived without one (e.g.
+    loaded from an old checkpoint)."""
+    from ..ops.linalg import _tri_inverse_rec
+
+    nb = local.shape[0]
+    P_ = mesh.shape[axis]
+    hi = jax.lax.Precision.HIGHEST
+
+    def kern(local):
+        p = lax.axis_index(axis)
+        nbl = nb // P_
+
+        def one(slot):
+            k = slot * P_ + p
+            row = lax.dynamic_index_in_dim(local, slot, 0, keepdims=False)
+            L_kk = lax.dynamic_slice(row, (0, k * block), (block, block))
+            W = _tri_inverse_rec(L_kk, min(block, 128))
+            E = jnp.eye(block, dtype=local.dtype) - jnp.matmul(W, L_kk, precision=hi)
+            return W + jnp.matmul(E, W, precision=hi)
+
+        mine = jax.vmap(one)(jnp.arange(nbl))          # (nbl, B, B)
+        gathered = lax.all_gather(mine, axis)          # (P, nbl, B, B)
+        return gathered.transpose(1, 0, 2, 3).reshape(nb, block, block)
+
+    fn = shard_map(
+        kern, mesh=mesh, in_specs=P(axis, None, None),
+        out_specs=P(None, None, None), check_vma=False,
+    )
+    return fn(local)
 
 
 def cholesky_blockcyclic(
@@ -236,10 +281,11 @@ def cholesky_blockcyclic(
     """
     n = A.shape[0]
     arranged = shard_rows_blockcyclic(np.asarray(A), mesh, axis, block)
-    local = _chol_sharded(arranged, mesh, axis, block)
+    n_pad = arranged.shape[0] * block
+    local, winvs = _chol_sharded(arranged, mesh, axis, block)
     return BlockCyclicFactor(
         local=local, mesh=mesh, axis=axis, block=block,
-        n=n, n_pad=arranged.shape[0] * block,
+        n=n, n_pad=n_pad, diag_inv=winvs,
     )
 
 
@@ -312,13 +358,17 @@ def matvec_blockcyclic(
     return y[:n]
 
 
-def _trsm_kernel(localL, V, *, nb: int, B: int, P_: int, axis: str):
+def _trsm_kernel(localL, winvs, V, *, nb: int, B: int, P_: int, axis: str):
     """Forward substitution ``Y = L^{-1} V``.
 
     The same body serves both RHS layouts: V replicated (n_pad, m) or
     column-sharded (n_pad, m/P per device) - every step's collective is the
     owner-row ``all_gather`` over L only, and each device's columns are
-    solved independently."""
+    solved independently. The diagonal solve is one GEMM against the
+    factorization's refined block inverse (``winvs``): substitution's
+    sequential depth is n rows, the inverse-multiply's is nb panels."""
+    hi = jax.lax.Precision.HIGHEST
+
     def body(k, Y):
         kB = k * B
         owner = k % P_
@@ -328,26 +378,28 @@ def _trsm_kernel(localL, V, *, nb: int, B: int, P_: int, axis: str):
         # Y above kB is already solved; at/below kB it is still zero, and
         # row[:, > diag] is zero in the factor, so row @ Y picks exactly the
         # solved prefix.
-        prod = jnp.matmul(row, Y, precision=jax.lax.Precision.HIGHEST)
+        prod = jnp.matmul(row, Y, precision=hi)
         rhs = lax.dynamic_slice(V, (kB, 0), (B, V.shape[1])) - prod
-        L_kk = lax.dynamic_slice(row, (0, kB), (B, B))
-        yk = unblocked_trsm_lower(L_kk, rhs)
+        W_kk = lax.dynamic_index_in_dim(winvs, k, 0, keepdims=False)
+        yk = jnp.matmul(W_kk, rhs, precision=hi)
         return lax.dynamic_update_slice(Y, yk, (kB, 0))
 
     return lax.fori_loop(0, nb, body, jnp.zeros_like(V))
 
 
-def _trsm_t_kernel(localL, V, *, nb: int, B: int, P_: int, axis: str):
+def _trsm_t_kernel(localL, winvs, V, *, nb: int, B: int, P_: int, axis: str):
     """Backward substitution ``Y = L^{-T} V``; V and Y replicated (n_pad, m).
 
     Column ``k`` of ``L`` is spread over the row owners, so each step is a
     local partial product + one ``psum`` - the transpose-apply analog of the
-    forward solve's owner-row broadcast.
+    forward solve's owner-row broadcast. Diagonal solve: ``W_kk^T rhs``
+    against the refined block inverse.
     """
     p = lax.axis_index(axis)
     nbl = nb // P_
     g_idx = jnp.arange(nbl) * P_ + p
     m = V.shape[1]
+    hi = jax.lax.Precision.HIGHEST
 
     def body(i, Y):
         k = nb - 1 - i
@@ -362,22 +414,18 @@ def _trsm_t_kernel(localL, V, *, nb: int, B: int, P_: int, axis: str):
             jnp.where(below, colk, 0.0),
             Yblk,
             preferred_element_type=Y.dtype,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=hi,
         )
         total = lax.psum(partial_sum, axis)
-        # diagonal block (same redundant-factor trick as the forward solve)
-        slot = k // P_
-        owner = k % P_
-        cand = lax.dynamic_slice(localL, (slot, 0, kB), (1, B, B))[0]
-        L_kk = lax.all_gather(cand, axis)[owner]
         rhs = lax.dynamic_slice(V, (kB, 0), (B, m)) - total
-        yk = unblocked_trsm_lower_t(L_kk, rhs)
+        W_kk = lax.dynamic_index_in_dim(winvs, k, 0, keepdims=False)
+        yk = jnp.matmul(W_kk.T, rhs, precision=hi)
         return lax.dynamic_update_slice(Y, yk, (kB, 0))
 
     return lax.fori_loop(0, nb, body, jnp.zeros_like(V))
 
 
-def _trsm_t_kernel_cols(localL, V, *, nb: int, B: int, P_: int, axis: str):
+def _trsm_t_kernel_cols(localL, winvs, V, *, nb: int, B: int, P_: int, axis: str):
     """Backward substitution ``Y = L^{-T} V`` for a *column-sharded* RHS
     (V local is (n_pad, m/P)).
 
@@ -393,6 +441,7 @@ def _trsm_t_kernel_cols(localL, V, *, nb: int, B: int, P_: int, axis: str):
     m = V.shape[1]
     nbl = nb // P_
     n_pad = nb * B
+    hi = jax.lax.Precision.HIGHEST
 
     def body(i, Y):
         k = nb - 1 - i
@@ -400,18 +449,18 @@ def _trsm_t_kernel_cols(localL, V, *, nb: int, B: int, P_: int, axis: str):
         colk = lax.dynamic_slice(localL, (0, 0, kB), (nbl, B, B))
         gathered = lax.all_gather(colk, axis)  # (P, nbl, B, B)
         C = gathered.transpose(1, 0, 2, 3).reshape(n_pad, B)
-        total = jnp.matmul(C.T, Y, precision=jax.lax.Precision.HIGHEST)
-        L_kk = lax.dynamic_slice(C, (kB, 0), (B, B))
+        total = jnp.matmul(C.T, Y, precision=hi)
         rhs = lax.dynamic_slice(V, (kB, 0), (B, m)) - total
-        yk = unblocked_trsm_lower_t(L_kk, rhs)
+        W_kk = lax.dynamic_index_in_dim(winvs, k, 0, keepdims=False)
+        yk = jnp.matmul(W_kk.T, rhs, precision=hi)
         return lax.dynamic_update_slice(Y, yk, (kB, 0))
 
     return lax.fori_loop(0, nb, body, jnp.zeros_like(V))
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
 def _trsm_sharded(
-    localL, V, mesh: Mesh, axis: str, block: int, trans: bool,
+    localL, winvs, V, mesh: Mesh, axis: str, block: int, trans: bool,
     shard_cols: bool = False,
 ):
     nb = localL.shape[0]
@@ -426,11 +475,11 @@ def _trsm_sharded(
     fn = shard_map(
         partial(kern, nb=nb, B=block, P_=P_, axis=axis),
         mesh=mesh,
-        in_specs=(P(axis, None, None), vspec),
+        in_specs=(P(axis, None, None), P(None, None, None), vspec),
         out_specs=vspec,
         check_vma=False,
     )
-    return fn(localL, V)
+    return fn(localL, winvs, V)
 
 
 def trsm_blockcyclic(
@@ -467,9 +516,13 @@ def trsm_blockcyclic(
         V = jax.lax.with_sharding_constraint(
             V, NamedSharding(factor.mesh, P(None, factor.axis))
         )
+    if factor.diag_inv is None:
+        factor.diag_inv = diag_inverses(
+            factor.local, factor.mesh, factor.axis, factor.block
+        )
     Y = _trsm_sharded(
-        factor.local, V, factor.mesh, factor.axis, factor.block, trans,
-        shard_cols,
+        factor.local, factor.diag_inv, V, factor.mesh, factor.axis,
+        factor.block, trans, shard_cols,
     )
     Y = Y[: factor.n]
     if m_pad > m:

@@ -156,9 +156,10 @@ def factorize_distributed(
                     )
                     probe_cache[n_pad] = v
                 y = matvec_blockcyclic(arranged, mesh, axis, block, v, n=n_pad)
+            lower, winvs = _chol_sharded(arranged, mesh, axis, block)
             fac = BlockCyclicFactor(
-                local=_chol_sharded(arranged, mesh, axis, block),
-                mesh=mesh, axis=axis, block=block, n=n, n_pad=n_pad,
+                local=lower, mesh=mesh, axis=axis, block=block,
+                n=n, n_pad=n_pad, diag_inv=winvs,
             )
             if not guard:
                 break
@@ -196,14 +197,17 @@ def factorize_distributed(
 # --------------------------------------------------------------------------
 
 
-def _panel_kernel(localLs, d_pads, z, data, *, spec, m, mloc, P_, axis, blocks_meta):
+def _panel_kernel(
+    localLs, winvs_t, d_pads, z, data, *, spec, m, mloc, P_, axis, blocks_meta
+):
     """shard_map body: whitened Jacobian panel for this device's latent
     columns + its slice of the gradient + its ring-accumulated rows of H.
 
-    ``localLs``/``d_pads``: tuples of per-block factors (row-sharded) and
-    padded equilibration vectors (replicated). Returns ``(Hcol, g_local)``
-    with ``Hcol`` the (m, mloc) column block of ``J^T J`` and ``g_local``
-    the matching slice of ``J^T r``.
+    ``localLs``/``winvs_t``/``d_pads``: tuples of per-block factor shards
+    (row-sharded), diagonal-block inverses and padded equilibration vectors
+    (both replicated). Returns ``(Hcol, g_local)`` with ``Hcol`` the
+    (m, mloc) column block of ``J^T J`` and ``g_local`` the matching slice
+    of ``J^T r``.
     """
     p = lax.axis_index(axis)
     cols = p * mloc + jnp.arange(mloc)
@@ -211,18 +215,20 @@ def _panel_kernel(localLs, d_pads, z, data, *, spec, m, mloc, P_, axis, blocks_m
 
     panels = []
     rs = []
-    for (name, residual), localL, d_pad, (n_b, n_pad, B, nb) in zip(
-        spec[0], localLs, d_pads, blocks_meta
+    for (name, residual), localL, winvs, d_pad, (n_b, n_pad, B, nb) in zip(
+        spec[0], localLs, winvs_t, d_pads, blocks_meta
     ):
         f = lambda zz: residual(zz, data)
         F, jvp = jax.linearize(f, z)
         Jcols = jax.vmap(jvp)(basis).T  # (n_b, mloc) raw Jacobian columns
         pad = n_pad - n_b
         V = jnp.pad(Jcols * d_pad[:n_b, None], ((0, pad), (0, 0)))
-        W = _trsm_kernel(localL, V, nb=nb, B=B, P_=P_, axis=axis)
+        W = _trsm_kernel(localL, winvs, V, nb=nb, B=B, P_=P_, axis=axis)
         panels.append(W[:n_b])
         rv = jnp.pad(F * d_pad[:n_b], ((0, pad),))[:, None]
-        rs.append(_trsm_kernel(localL, rv, nb=nb, B=B, P_=P_, axis=axis)[:n_b, 0])
+        rs.append(
+            _trsm_kernel(localL, winvs, rv, nb=nb, B=B, P_=P_, axis=axis)[:n_b, 0]
+        )
     for residual, weight in spec[1]:
         f = lambda zz: residual(zz, data)
         rm, jvp = jax.linearize(f, z)
@@ -255,41 +261,42 @@ def _panel_kernel(localLs, d_pads, z, data, *, spec, m, mloc, P_, axis, blocks_m
     return Hcol, g_local
 
 
-def _whiten_vec(localL, d_pad, r, meta, P_, axis):
+def _whiten_vec(localL, winvs, d_pad, r, meta, P_, axis):
     """In-region whitened residual ``L^{-1} D^{-1/2} r`` for one block."""
     n_b, n_pad, B, nb = meta
     rp = jnp.pad(r * d_pad[:n_b], (0, n_pad - n_b))[:, None]
-    return _trsm_kernel(localL, rp, nb=nb, B=B, P_=P_, axis=axis)[:n_b, 0]
+    return _trsm_kernel(localL, winvs, rp, nb=nb, B=B, P_=P_, axis=axis)[:n_b, 0]
 
 
-def _kernel_solve_vec(localL, d_pad, v, meta, P_, axis):
+def _kernel_solve_vec(localL, winvs, d_pad, v, meta, P_, axis):
     """In-region ``Theta^{-1} v`` through the equilibrated sharded factor."""
     n_b, n_pad, B, nb = meta
     vp = jnp.pad(v * d_pad[:n_b], (0, n_pad - n_b))[:, None]
-    y = _trsm_kernel(localL, vp, nb=nb, B=B, P_=P_, axis=axis)
-    y = _trsm_t_kernel(localL, y, nb=nb, B=B, P_=P_, axis=axis)
+    y = _trsm_kernel(localL, winvs, vp, nb=nb, B=B, P_=P_, axis=axis)
+    y = _trsm_t_kernel(localL, winvs, y, nb=nb, B=B, P_=P_, axis=axis)
     return y[:n_b, 0] * d_pad[:n_b]
 
 
 def _gn_scan_kernel(
-    localLs, d_pads, z0, data, *,
+    localLs, winvs_t, d_pads, z0, data, *,
     spec, blocks_meta, P_, axis, max_iter, step_size, solver,
     hessian_jitter, cg_tol, cg_maxiter, m, mloc,
 ):
     """shard_map body: the ENTIRE Gauss-Newton scan.
 
-    ``localLs``: per-block factor shards (nbl, B, n_pad); ``d_pads``:
-    padded equilibration vectors (replicated); ``z0``/``data`` replicated.
-    Latent-sized quantities are computed redundantly on every device (they
-    are O(n)); only factor-sized state is sharded.
+    ``localLs``: per-block factor shards (nbl, B, n_pad); ``winvs_t``/
+    ``d_pads``: diagonal-block inverses and padded equilibration vectors
+    (replicated); ``z0``/``data`` replicated. Latent-sized quantities are
+    computed redundantly on every device (they are O(n)); only factor-sized
+    state is sharded.
     """
     m_pad = mloc * P_
 
     def whitened_residual(z):
         parts = [
-            _whiten_vec(L, d, rfn(z, data), bm, P_, axis)
-            for (name, rfn), L, d, bm in zip(
-                spec[0], localLs, d_pads, blocks_meta
+            _whiten_vec(L, W, d, rfn(z, data), bm, P_, axis)
+            for (name, rfn), L, W, d, bm in zip(
+                spec[0], localLs, winvs_t, d_pads, blocks_meta
             )
         ]
         for rfn, w in spec[1]:
@@ -301,13 +308,13 @@ def _gn_scan_kernel(
         one forward+transpose triangular-solve pair on a vector, one VJP -
         O(n) memory per device at any latent dimension."""
         lins = []
-        for (name, rfn), L, d, bm in zip(
-            spec[0], localLs, d_pads, blocks_meta
+        for (name, rfn), L, W, d, bm in zip(
+            spec[0], localLs, winvs_t, d_pads, blocks_meta
         ):
             f = lambda zz, _r=rfn: _r(zz, data)
             F, jvp = jax.linearize(f, z)
             _, vjp = jax.vjp(f, z)
-            lins.append(((L, d, bm), F, jvp, vjp))
+            lins.append(((L, W, d, bm), F, jvp, vjp))
         mis = []
         for rfn, w in spec[1]:
             f = lambda zz, _r=rfn: _r(zz, data)
@@ -316,8 +323,8 @@ def _gn_scan_kernel(
             mis.append((w, F, jvp, vjp))
 
         def Kinv(key, v):
-            L, d, bm = key
-            return _kernel_solve_vec(L, d, v, bm, P_, axis)
+            L, W, d, bm = key
+            return _kernel_solve_vec(L, W, d, v, bm, P_, axis)
 
         g = jnp.zeros_like(z)
         for key, F, jvp, vjp in lins:
@@ -352,7 +359,7 @@ def _gn_scan_kernel(
     def direct_delta(z):
         z_pad = jnp.pad(z, (0, m_pad - m))
         Hcol, g_local = _panel_kernel(
-            localLs, d_pads, z_pad, data,
+            localLs, winvs_t, d_pads, z_pad, data,
             spec=wspec, m=m_pad, mloc=mloc, P_=P_, axis=axis,
             blocks_meta=blocks_meta,
         )
@@ -424,13 +431,19 @@ def gn_solve_distributed(
     # ordered per spec[0]: factor shards, padded equilibration vectors,
     # static block geometry
     localLs = []
+    winvs_t = []
     d_pads = []
     blocks_meta = []
     for name, _ in spec[0]:
         fac = fp.factors[name]
+        if fac.diag_inv is None:
+            from ..parallel.cholesky import diag_inverses
+
+            fac.diag_inv = diag_inverses(fac.local, fac.mesh, fac.axis, fac.block)
         d = fp.col_scales[name]
         d_pads.append(jnp.concatenate([d, jnp.ones(fac.n_pad - fac.n, d.dtype)]))
         localLs.append(fac.local)
+        winvs_t.append(fac.diag_inv)
         blocks_meta.append((fac.n, fac.n_pad, fac.block, fac.n_pad // fac.block))
     fac0 = next(iter(fp.factors.values()))
     mesh, axis = fac0.mesh, fac0.axis
@@ -457,6 +470,7 @@ def gn_solve_distributed(
             mesh=mesh,
             in_specs=(
                 tuple(P(axis, None, None) for _ in localLs),
+                tuple(P(None, None, None) for _ in winvs_t),
                 tuple(P(None) for _ in d_pads),
                 P(None),
                 data_specs,
@@ -465,7 +479,9 @@ def gn_solve_distributed(
             check_vma=False,
         )
     )
-    z_final, losses, ok = fn(tuple(localLs), tuple(d_pads), z, p.data)
+    z_final, losses, ok = fn(
+        tuple(localLs), tuple(winvs_t), tuple(d_pads), z, p.data
+    )
     return GNState(z=z_final, losses=losses, converged_finite=ok)
 
 
