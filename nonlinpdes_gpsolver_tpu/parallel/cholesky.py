@@ -221,16 +221,23 @@ def _chol_kernel(local, *, nb: int, B: int, P_: int, axis: str,
     return jnp.where(keep, local, 0.0), winvs
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3), donate_argnums=(0,))
-def _chol_sharded(arranged, mesh: Mesh, axis: str, block: int):
+@partial(jax.jit, static_argnums=(1, 2, 3, 4), donate_argnums=(0,))
+def _chol_sharded(arranged, mesh: Mesh, axis: str, block: int,
+                  chunk_cols: int = 4096):
     """Factor in place: ``arranged`` is donated, so at scale the peak
     per-device footprint is one n_pad^2/P shard plus panel temporaries (the
     caller must take any probe matvec against the unfactored matrix *before*
-    this call). Returns ``(lower_factor_shards, diag_inverses)``."""
+    this call). Returns ``(lower_factor_shards, diag_inverses)``.
+
+    ``chunk_cols`` bounds the trailing-update temporary width; it is exposed
+    (rather than hard-coded) so tests can force the multi-chunk path
+    (``nch > 1``) on small matrices - the clamped-start + mask logic
+    otherwise first runs on real hardware at n_pad > 4096."""
     nb = arranged.shape[0]
     P_ = mesh.shape[axis]
     fn = shard_map(
-        partial(_chol_kernel, nb=nb, B=block, P_=P_, axis=axis),
+        partial(_chol_kernel, nb=nb, B=block, P_=P_, axis=axis,
+                chunk_cols=chunk_cols),
         mesh=mesh,
         in_specs=P(axis, None, None),
         out_specs=(P(axis, None, None), P(None, None, None)),
@@ -273,7 +280,7 @@ def diag_inverses(local, mesh: Mesh, axis: str, block: int) -> jax.Array:
 
 
 def cholesky_blockcyclic(
-    A, mesh: Mesh, axis: str = "p", block: int = 256
+    A, mesh: Mesh, axis: str = "p", block: int = 256, chunk_cols: int = 4096
 ) -> BlockCyclicFactor:
     """Factor a replicated dense SPD matrix across the mesh.
 
@@ -282,7 +289,7 @@ def cholesky_blockcyclic(
     n = A.shape[0]
     arranged = shard_rows_blockcyclic(np.asarray(A), mesh, axis, block)
     n_pad = arranged.shape[0] * block
-    local, winvs = _chol_sharded(arranged, mesh, axis, block)
+    local, winvs = _chol_sharded(arranged, mesh, axis, block, chunk_cols)
     return BlockCyclicFactor(
         local=local, mesh=mesh, axis=axis, block=block,
         n=n, n_pad=n_pad, diag_inv=winvs,

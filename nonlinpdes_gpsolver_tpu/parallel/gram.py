@@ -138,7 +138,7 @@ def _assembly_kernel(
     return out
 
 
-@partial(jax.jit, static_argnums=(1, 2, 5, 6, 7, 8, 9), donate_argnums=(0,))
+@partial(jax.jit, static_argnums=(1, 2, 5, 6, 7, 8, 9, 10), donate_argnums=(0,))
 def _assemble_arranged(
     out,
     kernel,
@@ -150,6 +150,7 @@ def _assemble_arranged(
     mesh: Mesh,
     axis: str,
     block: int,
+    col_chunk: int = 8192,
 ):
     segs_pts = _segments(observables, points)
     X_all = jnp.concatenate(
@@ -206,7 +207,7 @@ def _assemble_arranged(
         partial(
             _assembly_kernel,
             kernel=kernel, segs=segs_pts, nb=nb, B=block, P_=P_,
-            axis=axis, n=n,
+            axis=axis, n=n, col_chunk=col_chunk,
         ),
         mesh=mesh,
         in_specs=(
@@ -229,6 +230,7 @@ def assemble_gram_sharded(
     nugget: float = 1e-10,
     nugget_type: str = "adaptive",
     nugget_scale=1.0,
+    col_chunk: int = 8192,
 ) -> jax.Array:
     """Equilibrated regularized Gram matrix in sharded block-cyclic
     (nb, B, n_pad) layout, plus the ``d^{-1/2}`` equilibration vector.
@@ -255,5 +257,5 @@ def assemble_gram_sharded(
     )()
     return _assemble_arranged(
         out, kernel, observables, pts, jnp.asarray(nugget_scale),
-        nugget_type, nugget, mesh, axis, block,
+        nugget_type, nugget, mesh, axis, block, col_chunk,
     )
