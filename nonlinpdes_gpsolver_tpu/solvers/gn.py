@@ -324,13 +324,17 @@ def _block_diagonals(residual, data, z, s, N):
 _STRUCTURE_CACHE: dict = {}
 
 
-def _structure_holds(fp: FactoredProblem, structure, probes: int = 2) -> bool:
+def validate_slice_structure(
+    problem: CollocationProblem, structure, dtype, probes: int = 2
+) -> bool:
     """Numerically verify the pointwise-slice structure (eager, setup-time).
 
     For random tangents v, the structured prediction
     ``sum_j D_j[rows_i] * v[slice j]`` (zero on non-interior rows) must match
-    the true JVP. Two independent probes make a false positive vanishingly
-    unlikely for any residual with genuine cross-point coupling.
+    the true JVP of the *raw* residuals. Two independent probes make a false
+    positive vanishingly unlikely for any residual with genuine cross-point
+    coupling. Used by both the single-device and the distributed structured
+    Jacobian paths (the check involves no whitening, only raw residuals).
 
     The verdict is cached on (residual function identities, structure,
     dtype): model constructors produce ``lru_cache``'d residuals, so
@@ -341,10 +345,7 @@ def _structure_holds(fp: FactoredProblem, structure, probes: int = 2) -> bool:
     """
     import numpy as np
 
-    p = fp.problem
-    if any(b.name not in fp.inv_factors for b in p.blocks):
-        return False
-    dtype = next(iter(fp.factors.values())).dtype
+    p = problem
     key = (tuple(b.residual for b in p.blocks), structure, jnp.dtype(dtype).name)
     try:
         cached = _STRUCTURE_CACHE.get(key)
@@ -379,6 +380,16 @@ def _structure_holds(fp: FactoredProblem, structure, probes: int = 2) -> bool:
     if key is not None:
         _STRUCTURE_CACHE[key] = ok
     return ok
+
+
+def _structure_holds(fp: FactoredProblem, structure, probes: int = 2) -> bool:
+    """Structured fast path applies iff every block has a precomputed
+    whitening operator AND the raw-residual structure validates."""
+    p = fp.problem
+    if any(b.name not in fp.inv_factors for b in p.blocks):
+        return False
+    dtype = next(iter(fp.factors.values())).dtype
+    return validate_slice_structure(p, structure, dtype, probes)
 
 
 def _whitened_residual_from(spec, arrays, z):

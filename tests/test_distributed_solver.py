@@ -164,6 +164,52 @@ def test_distributed_cg_matches_direct_and_single_device(eight_devices):
     )
 
 
+def test_distributed_structured_matches_direct_cg_single(eight_devices):
+    """The structured-slab panel (raw Jacobian columns from per-slice
+    residual diagonals, round-2 VERDICT item 6) must agree with the dense
+    direct panel, the matrix-free CG step, and the single-device solver -
+    and 'auto' must pick it when the structure validates."""
+    prob, _ = _elliptic_problem()
+    mesh = make_mesh(8)
+    dfp = factorize_distributed(prob, mesh, nugget=1e-10, block=16)
+    st_struct = gn_solve_distributed(dfp, max_iter=3, step_solver="structured")
+    st_direct = gn_solve_distributed(dfp, max_iter=3, step_solver="direct")
+    st_auto = gn_solve_distributed(dfp, max_iter=3)  # auto -> structured
+    fp = factorize(prob, nugget=1e-10, solve_mode="trsm")
+    sstate = gn_solve(fp, max_iter=3)
+    np.testing.assert_allclose(
+        np.asarray(st_struct.z), np.asarray(st_direct.z), atol=1e-9
+    )
+    np.testing.assert_array_equal(np.asarray(st_auto.z), np.asarray(st_struct.z))
+    np.testing.assert_allclose(
+        np.asarray(st_struct.z), np.asarray(sstate.z), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_struct.losses), np.asarray(sstate.losses), rtol=1e-3
+    )
+
+
+def test_distributed_structured_darcy_with_misfit(eight_devices):
+    """Structured panels for the two-block + misfit inverse problem (the
+    misfit rows take the dense basis path; the GP blocks the slab path)."""
+    def a_fn(x):
+        return jnp.sin(2 * jnp.pi * x[0]) + jnp.sin(2 * jnp.pi * x[1])
+
+    Xd, Xb = gpt.utils.sample_random(jax.random.PRNGKey(2), 80, 24)
+    k = gpt.SquaredExponential.gaussian(0.3)
+    obs = jnp.linspace(0.0, 0.01, 20)
+    prob = gpt.models.darcy_flow(
+        k, k, Xd, Xb, obs, rhs_f=lambda x: 1.0, noise_level=1e-2, seed=3
+    )
+    mesh = make_mesh(8)
+    dfp = factorize_distributed(prob, mesh, nugget=1e-8, block=16)
+    st_struct = gn_solve_distributed(dfp, max_iter=3, step_solver="structured")
+    st_direct = gn_solve_distributed(dfp, max_iter=3, step_solver="direct")
+    np.testing.assert_allclose(
+        np.asarray(st_struct.z), np.asarray(st_direct.z), atol=1e-9
+    )
+
+
 def test_factorize_distributed_escalates_on_singular_gram(eight_devices):
     """Duplicated collocation points make the Gram exactly singular; the
     guarded distributed factorization must escalate the nugget via the
