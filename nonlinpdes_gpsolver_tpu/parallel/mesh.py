@@ -2,15 +2,25 @@
 
 The reference is strictly single-process / single-device (SURVEY.md section 2,
 parallelism inventory: no collectives of any kind). This module is the entry
-point of the TPU build's scale-out story: a 1-D (or 2-D) ``jax.sharding.Mesh``
+point of the TPU build's scale-out story: a 1-D ``jax.sharding.Mesh``
 over ICI (and DCN across hosts via ``jax.distributed.initialize``), consumed
 by the sharded Gram assembler and the distributed dense factorizations.
+
+Why 1-D (and not a ScaLAPACK-style 2-D process grid): the panel algorithms'
+communication is one panel broadcast per step - ``O(n B)`` bytes - for a
+total of ``4 n_pad^2`` bytes received per device over a whole factorization.
+At the north-star N=100k elliptic (n_pad ~ 213k) that is ~180 GB, i.e. ~1-2 s
+at ICI all-gather bandwidth (~100-200 GB/s per chip), against ~20 s of
+per-device O(n^3/3P) compute at P=16 - communication stays sub-dominant
+(<10%) through P~64. A 2-D layout would cut per-device traffic to
+O(n^2/sqrt(P)) and matters only at much larger P than any BASELINE.json
+target; the measured tradeoff is recorded in PERF.md ("1-D vs 2-D layout").
 """
 
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import jax
 import numpy as np
@@ -21,15 +31,11 @@ def device_count() -> int:
     return len(jax.devices())
 
 
-def make_mesh(
-    n_devices: Optional[int] = None,
-    axis_names: Tuple[str, ...] = ("p",),
-    shape: Optional[Sequence[int]] = None,
-) -> Mesh:
-    """Build a mesh over the first ``n_devices`` devices.
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = "p") -> Mesh:
+    """Build the 1-D mesh over the first ``n_devices`` devices.
 
-    1-D by default (axis ``'p'`` - the block-cyclic panel axis of the dense
-    factorizations). Pass ``shape`` + two axis names for a 2-D mesh.
+    Axis ``'p'`` is the block-cyclic panel axis consumed by every
+    distributed algorithm in :mod:`.cholesky` / :mod:`.gram`.
     """
     devs = jax.devices()
     if n_devices is None:
@@ -40,14 +46,7 @@ def make_mesh(
             f"devices are visible (platform {jax.default_backend()!r}; on "
             "CPU set XLA_FLAGS=--xla_force_host_platform_device_count=N)"
         )
-    devs = devs[:n_devices]
-    if shape is None:
-        shape = (n_devices,)
-    if int(np.prod(shape)) != n_devices:
-        raise ValueError(f"mesh shape {shape} != {n_devices} devices")
-    if len(shape) != len(axis_names):
-        raise ValueError("shape and axis_names length mismatch")
-    return Mesh(np.asarray(devs).reshape(shape), axis_names)
+    return Mesh(np.asarray(devs[:n_devices]), (axis_name,))
 
 
 def initialize_distributed(

@@ -137,11 +137,15 @@ def factorize_distributed(
         s = max(1.0, (4.0 * eps) / max(nugget, 1e-300))
         attempts = max_attempts if guard else 1
         fac = None
+        lower = winvs = w = y = None
         for _ in range(attempts):
-            # drop a failed attempt's factor BEFORE re-assembling: holding
-            # the old n_pad^2/P shard across the retry's assembly doubles
-            # peak HBM and OOMs exactly when escalation triggers at scale
-            fac = None
+            # drop EVERY reference to a failed attempt's factor BEFORE
+            # re-assembling: holding the old n_pad^2/P shard (via fac OR the
+            # lower/winvs locals) across the retry's assembly doubles peak
+            # HBM and OOMs exactly when escalation triggers at scale (this
+            # was round 2's N=20k wall: quality=nan at the requested nugget
+            # -> escalate -> stale `lower` + new assembly = 2x shards)
+            fac = lower = winvs = w = None
             arranged, d_isqrt = assemble_gram_sharded(
                 b.kernel, b.observables, problem.points, mesh,
                 axis=axis, block=block, nugget=nugget,
@@ -172,8 +176,10 @@ def factorize_distributed(
                                    trans=True, n=n_pad),
                 n=n_pad,
             )
-            q = jnp.max(jnp.abs(w - y)) / jnp.max(jnp.abs(y))
-            if bool(jnp.isfinite(q)) and float(q) < quality_tol:
+            import math
+
+            q = float(jnp.max(jnp.abs(w - y)) / jnp.max(jnp.abs(y)))  # ONE sync
+            if math.isfinite(q) and q < quality_tol:
                 break
             s *= 10.0
         else:
