@@ -30,8 +30,14 @@ def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument(
         "--only", nargs="+", default=["elliptic", "burgers", "eikonal", "darcy"],
-        choices=["elliptic", "burgers", "eikonal", "darcy"],
+        choices=["elliptic", "burgers", "eikonal", "darcy", "mesh"],
+        help="'mesh' runs the elliptic workload through the distributed "
+             "mesh path at --mesh_N collocation points - PAST the "
+             "reference's ~10k dense limit (first compile of the CG scan "
+             "on the tunneled backend is slow; warm runs come from "
+             ".jax_cache)",
     )
+    parser.add_argument("--mesh_N", type=int, default=20000)
     parser.add_argument("--platform", type=str, default=None)
     args = parser.parse_args()
 
@@ -159,6 +165,43 @@ def main():
             return gpt.GPSolver.errors(pred, Ud.ravel())
 
         timed("darcy-IP 400/100/60 GN8", run, "darcy")
+
+    if "mesh" in args.only:
+        # elliptic at N past the reference's dense wall (upstream
+        # README.md:9), through the memory-bounded mesh path on however
+        # many devices are visible (1 real chip here). PERF.md "mesh path"
+        # table records 10k/15k/20k/26k rows measured this way.
+        from nonlinpdes_gpsolver_tpu.parallel import make_mesh
+        from nonlinpdes_gpsolver_tpu.solvers.distributed import (
+            DistributedPosterior, factorize_distributed, gn_solve_distributed,
+        )
+
+        def u_ell(x):
+            return jnp.sin(jnp.pi * x[0]) * jnp.sin(jnp.pi * x[1]) + 2 * jnp.sin(
+                4 * jnp.pi * x[0]
+            ) * jnp.sin(4 * jnp.pi * x[1])
+
+        def rhs_ell(x):
+            return -jnp.trace(jax.hessian(u_ell)(x)) + u_ell(x) ** 3
+
+        N = args.mesh_N
+        Xd, Xb = gpt.utils.sample_random(jax.random.PRNGKey(1), N, N // 8)
+        Xt = gpt.utils.test_grid(60, 60)
+        truth = jax.vmap(u_ell)(Xt)
+        mesh = make_mesh()
+
+        def run():
+            prob = gpt.models.nonlinear_elliptic(
+                gpt.SquaredExponential.gaussian(0.2), Xd, Xb, rhs_ell, u_ell,
+                seed=1,
+            )
+            fp = factorize_distributed(prob, mesh, nugget=1e-5, block=512)
+            st = gn_solve_distributed(fp, max_iter=4)
+            pred = DistributedPosterior(fp, st.z).extend(Xt)
+            pred.block_until_ready()
+            return gpt.GPSolver.errors(pred, truth)
+
+        timed(f"mesh-elliptic N={N} ({mesh.devices.size} dev) GN4", run)
 
 
 if __name__ == "__main__":

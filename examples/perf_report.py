@@ -99,11 +99,7 @@ def main():
                 )
                 t1 = time.perf_counter()
                 st = gn_solve_distributed(
-                    fp, max_iter=args.gn_steps,
-                    step_solver=(
-                        "auto" if args.step_solver == "structured"
-                        else args.step_solver
-                    ),
+                    fp, max_iter=args.gn_steps, step_solver=args.step_solver,
                 )
                 st.z.block_until_ready()
                 t2 = time.perf_counter()

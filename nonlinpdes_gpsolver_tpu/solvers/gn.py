@@ -179,6 +179,17 @@ def _equilibrated_cholesky(theta, nug_diag, s, use_controlled):
 
 
 @jax.jit
+def _refined_tri_inverse(L):
+    """One dispatch for ``newton_refine(recursive_tri_inverse(L))``.
+
+    Fusing these two (WITHOUT the Cholesky - see the miscompile note in
+    :func:`_equilibrated_cholesky`) halves the per-block dispatch count on
+    remote-dispatch backends where each launch costs ~10 ms; the whitening-
+    quality probe still guards the fused program's output."""
+    return newton_refine_tri_inverse(L, recursive_tri_inverse(L))
+
+
+@jax.jit
 def _whiten_quality(inv, L, d_isqrt, v):
     """Relative whitening residual ``max|W(Lv) - v| / max|v|`` for the
     scale-folded operator ``inv = L~^{-1} D^{-1/2}`` (matvecs only)."""
@@ -247,7 +258,7 @@ def factorize(
                 if on_accelerator:
                     # raw f32 inverse carries ~1e-2 left-residual on these
                     # ill-conditioned factors; one Newton step restores ~1e-4
-                    inv = newton_refine_tri_inverse(L, recursive_tri_inverse(L))
+                    inv = _refined_tri_inverse(L)
                 else:
                     inv = jax.jit(tri_inverse)(L)
                 inv = inv * d_isqrt[None, :]
@@ -258,8 +269,10 @@ def factorize(
                         onp.random.default_rng(0).standard_normal(L.shape[0]),
                         L.dtype,
                     )
-                q = _whiten_quality(inv, L, d_isqrt, probe)
-                if bool(jnp.isfinite(q)) and float(q) < 1e-2:
+                import math
+
+                q = float(_whiten_quality(inv, L, d_isqrt, probe))  # ONE sync
+                if math.isfinite(q) and q < 1e-2:
                     inv_factors[b.name] = inv
                     break
                 s *= 10.0  # finite but corrupted factor: escalate anyway

@@ -26,6 +26,33 @@ from .gn import FactoredProblem
 # queries (and rebuilt same-config problems) reuse one compiled cross-Gram.
 _cross_gram_jit = partial(jax.jit, static_argnums=(0, 1, 3))(cross_gram)
 
+_HI = jax.lax.Precision.HIGHEST
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _block_weights(residual, mode, arr, scale, z, data):
+    """Representer weights ``Theta^{-1} F(z*)`` for one block as ONE
+    executable (the eager residual -> kernel_solve chain costs ~10 dispatches
+    on remote-dispatch backends; the residual functions are lru_cache'd so
+    same-config problems reuse the compilation)."""
+    from jax.scipy.linalg import solve_triangular
+
+    F = residual(z, data)
+    if mode == "inv":
+        W = arr
+        return jnp.matmul(W.T, jnp.matmul(W, F, precision=_HI), precision=_HI)
+    v = F * scale if mode == "trsm_scaled" else F
+    y = solve_triangular(arr, v, lower=True)
+    y = solve_triangular(arr, y, lower=True, trans=1)
+    return y * scale if mode == "trsm_scaled" else y
+
+
+@partial(jax.jit, static_argnums=(0, 1, 3))
+def _extend_jit(kernel, op, X_test, observables, points, w):
+    """Cross-Gram + representer matvec fused into one executable."""
+    ct = cross_gram(kernel, op, X_test, observables, points)
+    return jnp.matmul(ct, w, precision=_HI)
+
 
 class Posterior:
     """Posterior means of every GP block at the Gauss-Newton solution."""
@@ -36,8 +63,16 @@ class Posterior:
         p = fp.problem
         self._weights: Dict[str, jnp.ndarray] = {}
         for b in p.blocks:
-            F = b.residual(self.z_star, p.data)
-            self._weights[b.name] = fp.kernel_solve(b.name, F)
+            if b.name in fp.inv_factors:
+                mode, arr, scale = "inv", fp.inv_factors[b.name], None
+            elif b.name in fp.col_scales:
+                mode = "trsm_scaled"
+                arr, scale = fp.factors[b.name], fp.col_scales[b.name]
+            else:
+                mode, arr, scale = "trsm", fp.factors[b.name], None
+            self._weights[b.name] = _block_weights(
+                b.residual, mode, arr, scale, self.z_star, p.data
+            )
 
     def weights(self, block: str) -> jnp.ndarray:
         return self._weights[block]
@@ -57,11 +92,9 @@ class Posterior:
         b = p.block(block) if block is not None else p.blocks[0]
         if op is None:
             op = identity(b.kernel.dim)
-        ct = _cross_gram_jit(
-            b.kernel, op, jnp.asarray(X_test), b.observables, p.points
-        )
-        return jnp.matmul(
-            ct, self._weights[b.name], precision=jax.lax.Precision.HIGHEST
+        return _extend_jit(
+            b.kernel, op, jnp.asarray(X_test), b.observables, p.points,
+            self._weights[b.name],
         )
 
     def variance(

@@ -76,7 +76,10 @@ def test_nonlinear_elliptic_relaxed_converges():
 def test_burgers_matches_baseline():
     """Reference notebook: space-time L2 4.0e-3 (1200 pts, 12 iters). At the
     CLI config (1000+200 pts, lengthscales [0.3, 0.05], 8 iters) this
-    framework measures 7.1e-3; require <1.5e-2."""
+    framework measures 7.08e-3 on this seed (sample spread is ~2x either
+    way, see PERF.md "Burgers accuracy parity"); require <8e-3. The
+    notebook-config baseline itself is gated at 4.009e-3 by the slow suite
+    (test_acceptance_full.test_burgers_notebook_config)."""
     nu = 0.02
     k = gpt.SquaredExponential.anisotropic([0.3, 0.05])
     Xd, Xb = gpt.utils.sample_random(
@@ -93,7 +96,7 @@ def test_burgers_matches_baseline():
     Xt = gpt.utils.test_grid(60, 60, domain=((0.0, 1.0), (-1.0, 1.0)))
     truth = u_truth(np.asarray(Xt[:, 0]), np.asarray(Xt[:, 1]))
     err = gpt.GPSolver.errors(res.posterior.extend(Xt), truth)
-    assert err.l2 < 1.5e-2, err
+    assert err.l2 < 8e-3, err
     assert res.losses[-1] < res.losses[0] * 1e-3
 
 
