@@ -436,6 +436,7 @@ def _whitened_residual_from(spec, arrays, z):
         "cg_tol",
         "cg_maxiter",
         "structure",
+        "tol",
     ),
 )
 def _gn_scan(
@@ -449,6 +450,7 @@ def _gn_scan(
     cg_tol,
     cg_maxiter,
     structure=None,
+    tol=None,
 ):
     """The compiled GN loop, cache-keyed on problem *structure* not instance.
 
@@ -538,9 +540,40 @@ def _gn_scan(
         loss = jnp.dot(r_next, r_next)
         return (z_next, ok), loss
 
-    (z_final, ok), losses = jax.lax.scan(
-        step, (z_init, jnp.asarray(True)), None, length=max_iter
+    if tol is None:
+        (z_final, ok), losses = jax.lax.scan(
+            step, (z_init, jnp.asarray(True)), None, length=max_iter
+        )
+        return z_final, losses, ok
+
+    # convergence-tolerance mode: iterate until the loss plateaus
+    # (|prev - cur| <= tol * cur) or max_iter, as a device-side while_loop
+    # (no per-iteration host sync). Motivated by a measured Burgers draw
+    # where 8 fixed iterations stop mid-oscillation (loss 130, L2 0.18)
+    # while 16 converge (loss 25.4, L2 5.2e-3): a plateau test with a
+    # generous cap is the robust configuration for production solves.
+    big = jnp.asarray(jnp.finfo(z_init.dtype).max, z_init.dtype)
+
+    def cond(c):
+        z, ok, i, losses, prev, cur = c
+        plateaued = jnp.abs(prev - cur) <= tol * jnp.maximum(
+            cur, jnp.finfo(z_init.dtype).tiny
+        )
+        return (i < max_iter) & (~plateaued | (i < 2)) & ok
+
+    def body(c):
+        z, ok, i, losses, prev, cur = c
+        (z2, ok2), loss = step((z, ok), None)
+        losses = jax.lax.dynamic_update_index_in_dim(losses, loss, i, 0)
+        return (z2, ok2, i + 1, losses, cur, loss)
+
+    z_final, ok, n_it, losses, _, last = jax.lax.while_loop(
+        cond, body,
+        (z_init, jnp.asarray(True), jnp.asarray(0), jnp.full((max_iter,), big),
+         big, big),
     )
+    # pad untaken iterations with the final loss so the history is monotone
+    losses = jnp.where(jnp.arange(max_iter) < n_it, losses, last)
     return z_final, losses, ok
 
 
@@ -553,12 +586,20 @@ def gn_solve(
     step_solver: str = "auto",
     cg_tol: float = 1e-10,
     cg_maxiter: int | None = None,
+    tol: float | None = None,
 ) -> GNState:
     """Run ``max_iter`` Gauss-Newton steps as one compiled ``lax.scan``.
 
     Each step: linearize the whitened residual at ``z``, solve the GN normal
     system, damped update. Steps producing non-finite iterates are rejected
     (z frozen) rather than poisoning the run.
+
+    ``tol``: optional relative loss-plateau tolerance. When set, iteration
+    stops as soon as ``|loss_prev - loss| <= tol * loss`` (device-side
+    ``while_loop``, no per-iteration sync) with ``max_iter`` as the cap -
+    the robust configuration for unlucky collocation draws where a fixed
+    small iteration count stops mid-oscillation (see PERF.md "Burgers
+    accuracy parity").
 
     ``step_solver``:
     * ``'auto'`` (default) - ``'structured'`` when the problem's residuals
@@ -630,5 +671,6 @@ def gn_solve(
         float(cg_tol),
         cg_maxiter,
         structure=structure,
+        tol=None if tol is None else float(tol),
     )
     return GNState(z=z_final, losses=losses, converged_finite=ok)

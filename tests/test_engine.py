@@ -55,6 +55,48 @@ def test_gn_linear_problem_one_step():
     assert st.losses[0] <= 1e-10
 
 
+def test_gn_tol_stops_at_plateau_and_matches_scan():
+    """tol mode (device-side while_loop) must reach the same solution as the
+    fixed scan, report a padded monotone-tail loss history, and stop early
+    on an affine problem (converged after 1 step, cap 10)."""
+    target = jnp.linspace(0.0, 1.0, 30)
+
+    def residual(z, data):
+        # constant rows floor the loss at a nonzero value, so after the
+        # affine part converges (1 step) the loss plateaus EXACTLY
+        return jnp.concatenate([z - target, data["g"] + 1.0])
+
+    prob = _toy_problem(residual, 30)
+    fp = factorize(prob, nugget=1e-8)
+    st_scan = gn_solve(fp, z0=jnp.ones(30) * 5.0, max_iter=10)
+    st_tol = gn_solve(fp, z0=jnp.ones(30) * 5.0, max_iter=10, tol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(st_tol.z), np.asarray(st_scan.z), atol=1e-10
+    )
+    assert st_tol.losses.shape == (10,)
+    # stopped at the plateau: every entry from iteration 2 on is the padded
+    # final value
+    tail = np.asarray(st_tol.losses[2:])
+    np.testing.assert_array_equal(tail, tail[0])
+    assert bool(st_tol.converged_finite)
+
+
+def test_gn_tol_keeps_iterating_while_improving():
+    """A genuinely nonlinear problem must NOT stop at the 2-iteration floor
+    when the loss is still falling (regression guard for the plateau test)."""
+
+    def residual(z, data):
+        return jnp.concatenate([z**3 - 2.0, data["g"]])
+
+    prob = _toy_problem(residual, 30)
+    fp = factorize(prob, nugget=1e-8)
+    st = gn_solve(fp, z0=jnp.full(30, 3.0), max_iter=30, tol=1e-10)
+    # cube-root of 2 recovered to solver tolerance
+    np.testing.assert_allclose(
+        np.asarray(st.z), np.full(30, 2.0 ** (1 / 3)), rtol=1e-6
+    )
+
+
 def test_gn_rejects_nonfinite_step():
     """A residual engineered to blow up must freeze, not poison, the iterate."""
 
