@@ -107,7 +107,13 @@ class GPSolver:
         z0: Optional[jnp.ndarray] = None,
         hessian_jitter: float = 0.0,
         step_solver: str = "auto",
+        tol: Optional[float] = None,
     ) -> SolveResult:
+        """Run the Gauss-Newton solve (see :func:`..solvers.gn.gn_solve`).
+
+        ``tol``: optional loss-plateau stopping tolerance - iterate until
+        relative loss change <= tol or ``max_iter`` (single-device path).
+        """
         import jax
 
         with self.timers.phase("gauss_newton"):
@@ -130,6 +136,7 @@ class GPSolver:
                     step_size=step_size,
                     hessian_jitter=hessian_jitter,
                     step_solver=step_solver,
+                    tol=tol,
                 )
             # one device->host round trip covers the completion barrier, the
             # finiteness verdict, and the loss history for logging (three
