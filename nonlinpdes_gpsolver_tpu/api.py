@@ -67,14 +67,35 @@ class GPSolver:
         dtype=None,
         mesh=None,
         mesh_block: int = 512,
+        defer_quality: Optional[bool] = None,
+        solve_mode: str = "auto",
     ):
         self.problem = problem
         self.mesh = mesh
         self.timers = PhaseTimers()
+        self._mesh_block = mesh_block
+        self._fact_args = dict(
+            nugget=nugget, nugget_type=nugget_type, dtype=dtype,
+            solve_mode=solve_mode,
+        )
+        if defer_quality is None:
+            # Optimistic pipeline on accelerators (remote dispatch: a
+            # mid-factorize sync costs more than the rare full redo); the
+            # eager in-factorize ladder on CPU.
+            from .ops.backend import is_accelerator
+
+            defer_quality = mesh is None and is_accelerator()
+        self._defer_quality = bool(defer_quality) and mesh is None
+        self._start_scales: dict = {}
+        self._factorize()
+
+    def _factorize(self):
+        problem = self.problem
         with self.timers.phase("factorize"):
-            if mesh is not None:
+            if self.mesh is not None:
                 from .solvers.distributed import factorize_distributed
 
+                dtype = self._fact_args["dtype"]
                 if dtype is not None:
                     problem = dataclasses.replace(
                         problem,
@@ -85,12 +106,18 @@ class GPSolver:
                     )
                     self.problem = problem
                 self.fp = factorize_distributed(
-                    problem, mesh, nugget=nugget, nugget_type=nugget_type,
-                    block=mesh_block,
+                    problem,
+                    self.mesh,
+                    nugget=self._fact_args["nugget"],
+                    nugget_type=self._fact_args["nugget_type"],
+                    block=self._mesh_block,
                 )
             else:
                 self.fp = factorize(
-                    problem, nugget=nugget, nugget_type=nugget_type, dtype=dtype
+                    problem,
+                    defer_quality=self._defer_quality,
+                    start_scales=self._start_scales or None,
+                    **self._fact_args,
                 )
         for name, scale in self.fp.nugget_scales.items():
             if scale != 1.0:
@@ -114,35 +141,80 @@ class GPSolver:
         ``tol``: optional loss-plateau stopping tolerance - iterate until
         relative loss change <= tol or ``max_iter`` (single-device path).
         """
+        import math
+
         import jax
 
-        with self.timers.phase("gauss_newton"):
-            if self.mesh is not None:
-                from .solvers.distributed import gn_solve_distributed
+        for _ in range(8):
+            with self.timers.phase("gauss_newton"):
+                if self.mesh is not None:
+                    from .solvers.distributed import gn_solve_distributed
 
-                state = gn_solve_distributed(
-                    self.fp,
-                    z0=z0,
-                    max_iter=max_iter,
-                    step_size=step_size,
-                    hessian_jitter=hessian_jitter,
-                    step_solver=step_solver,
+                    state = gn_solve_distributed(
+                        self.fp,
+                        z0=z0,
+                        max_iter=max_iter,
+                        step_size=step_size,
+                        hessian_jitter=hessian_jitter,
+                        step_solver=step_solver,
+                    )
+                else:
+                    state = gn_solve(
+                        self.fp,
+                        z0=z0,
+                        max_iter=max_iter,
+                        step_size=step_size,
+                        hessian_jitter=hessian_jitter,
+                        step_solver=step_solver,
+                        tol=tol,
+                    )
+            # Queue the posterior-weight dispatches BEFORE the sync so the
+            # device pipeline never drains on remote-dispatch backends.
+            with self.timers.phase("posterior_weights"):
+                if self.mesh is not None:
+                    from .solvers.distributed import DistributedPosterior
+
+                    post = DistributedPosterior(self.fp, state.z)
+                else:
+                    post = Posterior(self.fp, state.z)
+            # ONE device->host round trip covers the completion barrier, the
+            # finiteness verdict, the loss history for logging, AND any
+            # pending deferred whitening-quality verdicts (separate syncs
+            # would each pay full latency on remote backends).
+            qnames = sorted(getattr(self.fp, "quality", {}) or {})
+            finite, losses, qvals = jax.device_get(
+                (
+                    state.converged_finite,
+                    state.losses,
+                    [self.fp.quality[n] for n in qnames] if qnames else [],
                 )
-            else:
-                state = gn_solve(
-                    self.fp,
-                    z0=z0,
-                    max_iter=max_iter,
-                    step_size=step_size,
-                    hessian_jitter=hessian_jitter,
-                    step_solver=step_solver,
-                    tol=tol,
+            )
+            bad = {
+                n: float(q)
+                for n, q in zip(qnames, qvals)
+                if not (math.isfinite(float(q)) and float(q) < 1e-2)
+            }
+            if not bad:
+                break
+            # Deferred-quality verdict failed: the whole optimistic pipeline
+            # ran on a corrupt factor. Escalate the failing blocks' nugget
+            # 10x past what was attempted and redo factorize+solve (rare -
+            # and the redo costs less than an always-on mid-pipeline sync).
+            for n in bad:
+                self._start_scales[n] = 10.0 * float(
+                    self.fp.nugget_scales.get(n, 1.0)
                 )
-            # one device->host round trip covers the completion barrier, the
-            # finiteness verdict, and the loss history for logging (three
-            # separate syncs would each pay full latency on remote backends)
-            finite, losses = jax.device_get(
-                (state.converged_finite, state.losses)
+            log.warning(
+                "problem %r: deferred whitening-quality check failed for "
+                "block(s) %s; re-factorizing with escalated nugget",
+                self.problem.name,
+                bad,
+            )
+            self._factorize()
+        else:
+            raise FloatingPointError(
+                f"problem {self.problem.name!r}: factorization quality still "
+                f"bad after nugget escalation to {self._start_scales}"
             )
         if not bool(finite):
             log.warning(
@@ -151,13 +223,6 @@ class GPSolver:
                 self.problem.name,
             )
         log.info("problem %r: GN losses %s", self.problem.name, losses)
-        with self.timers.phase("posterior_weights"):
-            if self.mesh is not None:
-                from .solvers.distributed import DistributedPosterior
-
-                post = DistributedPosterior(self.fp, state.z)
-            else:
-                post = Posterior(self.fp, state.z)
         return SolveResult(state=state, posterior=post, timers=self.timers.as_dict())
 
     # -- convenience metrics (reference: src/solver.py:169-194 upstream) ----

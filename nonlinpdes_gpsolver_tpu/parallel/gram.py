@@ -138,33 +138,21 @@ def _assembly_kernel(
     return out
 
 
-@partial(jax.jit, static_argnums=(1, 2, 5, 6, 7, 8, 9, 10), donate_argnums=(0,))
-def _assemble_arranged(
-    out,
-    kernel,
-    observables,
-    points,
-    nugget_scale,
-    nugget_type: str,
-    nugget: float,
-    mesh: Mesh,
-    axis: str,
-    block: int,
-    col_chunk: int = 8192,
+def _equilibration_diag(
+    kernel, segs_pts, nugget_scale, nugget_type: str, nugget: float, dtype
 ):
-    segs_pts = _segments(observables, points)
-    X_all = jnp.concatenate(
-        [jnp.asarray(points[o.points]) for o in observables], axis=0
-    )
-    n, dim = X_all.shape
-    dtype = X_all.dtype
+    """``d^{-1/2}`` for the equilibrated regularized Gram matrix.
 
-    # stationary kernel: per-observable diagonal constants (L (x) L) kappa(0)
-    x0 = X_all[:1]
+    Stationarity makes this O(#observables): the diagonal of each segment is
+    the constant ``(L (x) L) kappa(0)`` plus its trace-adaptive nugget share
+    (upstream trace-ratio rule, ``src/PDEs.py:62-69``). ``nugget_scale`` is
+    traced (escalation reuses the executable). Shared by the two-pass
+    assembly and the fused assemble+factorize (:mod:`.fused`).
+    """
+    x0 = jnp.zeros((1, kernel.dim), dtype)
     diag_consts = [
         _pair_impl(kernel, op, op)(x0, x0)[0, 0] for _, _, op in segs_pts
     ]
-    # trace-adaptive nugget (upstream trace-ratio rule): trace_i = size_i * c_i
     if nugget_type == "none":
         nuggets = [jnp.asarray(0.0, dtype)] * len(segs_pts)
     elif nugget_type == "identity":
@@ -188,8 +176,32 @@ def _assemble_arranged(
         jnp.full(size, c + s * nug, dtype)
         for (_, size, _), c, nug in zip(segs_pts, diag_consts, nuggets)
     ]
-    d = jnp.concatenate(d_parts)
-    d_isqrt = jax.lax.rsqrt(d)
+    return jax.lax.rsqrt(jnp.concatenate(d_parts))
+
+
+@partial(jax.jit, static_argnums=(1, 2, 5, 6, 7, 8, 9, 10), donate_argnums=(0,))
+def _assemble_arranged(
+    out,
+    kernel,
+    observables,
+    points,
+    nugget_scale,
+    nugget_type: str,
+    nugget: float,
+    mesh: Mesh,
+    axis: str,
+    block: int,
+    col_chunk: int = 8192,
+):
+    segs_pts = _segments(observables, points)
+    X_all = jnp.concatenate(
+        [jnp.asarray(points[o.points]) for o in observables], axis=0
+    )
+    n, dim = X_all.shape
+    dtype = X_all.dtype
+    d_isqrt = _equilibration_diag(
+        kernel, segs_pts, nugget_scale, nugget_type, nugget, dtype
+    )
 
     P_ = mesh.shape[axis]
     n_pad = pad_to_blocks(n, block, P_)

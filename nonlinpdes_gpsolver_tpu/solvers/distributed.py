@@ -110,20 +110,35 @@ def factorize_distributed(
     guard: bool = True,
     chunk_cols: int = 4096,
     col_chunk: int = 8192,
+    fused: bool = True,
+    start_scales: Dict[str, float] | None = None,
 ) -> DistributedFactoredProblem:
     """Assemble + factor every block on the mesh, with the failure ladder.
 
-    Each attempt re-runs the (O(n^2), executable-cached) sharded assembly at
-    nugget scale ``s``, records the matvec ``y = Theta~ v`` on a fixed probe
-    vector while the unfactored matrix is still alive, factors, and accepts
-    only if ``max|L(L^T v) - y| / max|y|`` is finite and small - a NaN *or a
-    finite-but-corrupt* factor escalates ``s`` tenfold (mirror of the
-    single-device whitening-quality probe, ``gn.py``; round-1 VERDICT weak
-    item 5: the distributed path previously had no guard at all).
+    ``fused=True`` (default): the left-looking streaming kernel
+    (:func:`..parallel.fused.assemble_factor_fused`) assembles each Gram
+    block-column on the fly *inside* the factorization loop - the matrix is
+    never materialized, kernel evaluations cover only the lower triangle,
+    and the update GEMMs run at the textbook ``n^3/6`` MAC count (the
+    two-pass path's right-looking trailing update does 2x). The quality
+    guard uses the sampled-row probe (a handful of independently
+    re-assembled rows of A~ checked against ``L(L^T v)``).
 
-    ``guard=False`` skips the probe syncs (one scalar round-trip per block)
-    for fully-jitted contexts like the driver dryrun.
+    ``fused=False``: the two-pass path - full sharded assembly
+    (:func:`..parallel.gram.assemble_gram_sharded`), probe matvec against
+    the still-alive unfactored matrix, then the in-place right-looking
+    factorization (:func:`..parallel.cholesky._chol_sharded`).
+
+    Either way a NaN *or a finite-but-corrupt* factor escalates the nugget
+    scale ``s`` tenfold and retries (mirror of the single-device
+    whitening-quality probe, ``gn.py``; round-1 proved on this backend that
+    a factor can be finite but corrupt). ``guard=False`` skips the probe
+    syncs (one scalar round-trip per block) for fully-jitted contexts like
+    the driver dryrun. ``start_scales``: per-block starting multiplier for
+    the escalation ladder (e.g. from a previous run's outcome).
     """
+    from ..parallel.fused import assemble_factor_fused, sampled_row_quality
+
     factors: Dict[str, BlockCyclicFactor] = {}
     col_scales: Dict[str, jnp.ndarray] = {}
     scales: Dict[str, float] = {}
@@ -135,6 +150,8 @@ def factorize_distributed(
         # dtype-aware escalation floor (see gn.factorize): reference-era
         # nuggets below a few ulps are no regularization at all.
         s = max(1.0, (4.0 * eps) / max(nugget, 1e-300))
+        if start_scales:
+            s = max(s, float(start_scales.get(b.name, 1.0)))
         attempts = max_attempts if guard else 1
         fac = None
         lower = winvs = w = y = None
@@ -146,6 +163,24 @@ def factorize_distributed(
             # was round 2's N=20k wall: quality=nan at the requested nugget
             # -> escalate -> stale `lower` + new assembly = 2x shards)
             fac = lower = winvs = w = None
+            if fused:
+                fac, d_isqrt = assemble_factor_fused(
+                    b.kernel, b.observables, problem.points, mesh,
+                    axis=axis, block=block, nugget=nugget,
+                    nugget_type=nugget_type, nugget_scale=s,
+                    chunk_cols=chunk_cols,
+                )
+                if not guard:
+                    break
+                import math
+
+                q = float(sampled_row_quality(
+                    fac, b.kernel, b.observables, problem.points, d_isqrt
+                ))  # ONE sync
+                if math.isfinite(q) and q < quality_tol:
+                    break
+                s *= 10.0
+                continue
             arranged, d_isqrt = assemble_gram_sharded(
                 b.kernel, b.observables, problem.points, mesh,
                 axis=axis, block=block, nugget=nugget,

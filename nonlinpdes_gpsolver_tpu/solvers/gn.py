@@ -92,6 +92,11 @@ class FactoredProblem:
     inv_factors: Dict[str, jnp.ndarray]
     nugget_scales: Dict[str, float]  # escalation applied per block (1.0 = none)
     col_scales: Dict[str, jnp.ndarray] = dataclasses.field(default_factory=dict)
+    # pending whitening-quality scalars (device arrays, NOT synced) when the
+    # factorization ran with ``defer_quality=True``; the caller must fetch
+    # them (cheaply, alongside its own results) and re-factorize with
+    # escalated ``start_scales`` if any is non-finite or >= 1e-2.
+    quality: Dict[str, jnp.ndarray] = dataclasses.field(default_factory=dict)
 
     def _whiten(self, name: str, v: jnp.ndarray) -> jnp.ndarray:
         if name in self.inv_factors:
@@ -198,6 +203,43 @@ def _whiten_quality(inv, L, d_isqrt, v):
     return jnp.max(jnp.abs(w - v)) / jnp.max(jnp.abs(v))
 
 
+@partial(jax.jit, static_argnums=(3,))
+def _refine_scale_quality(L, d_isqrt, v, refined):
+    """Tri-inverse (+ Newton refinement) + scale-fold + whitening-quality
+    probe as ONE executable: three separate dispatches (inverse, eager
+    ``inv * d_isqrt``, probe matmuls) each cost a ~10 ms launch on
+    remote-dispatch backends, which dominates small-n factorization. The
+    Cholesky stays in its own executable (miscompile note in
+    :func:`_equilibrated_cholesky`); the returned quality scalar still
+    guards this fused program's output."""
+    inv = (
+        newton_refine_tri_inverse(L, recursive_tri_inverse(L))
+        if refined
+        else tri_inverse(L)
+    )
+    inv = inv * d_isqrt[None, :]
+    u = jnp.matmul(L, v, precision=jax.lax.Precision.HIGHEST)
+    w = jnp.matmul(inv, u / d_isqrt, precision=jax.lax.Precision.HIGHEST)
+    q = jnp.max(jnp.abs(w - v)) / jnp.max(jnp.abs(v))
+    return inv, q
+
+
+_PROBE_CACHE: dict = {}
+
+
+def _probe_vec(n: int, dtype) -> jnp.ndarray:
+    """Fixed unit-seed Gaussian probe, cached per (n, dtype) so repeated
+    factorizations skip the host->device transfer."""
+    key = (n, jnp.dtype(dtype).name)
+    v = _PROBE_CACHE.get(key)
+    if v is None:
+        import numpy as onp
+
+        v = jnp.asarray(onp.random.default_rng(0).standard_normal(n), dtype)
+        _PROBE_CACHE[key] = v
+    return v
+
+
 def factorize(
     problem: CollocationProblem,
     nugget: float,
@@ -205,11 +247,26 @@ def factorize(
     dtype=None,
     solve_mode: str = "auto",
     equilibrate: bool = True,
+    defer_quality: bool = False,
+    start_scales: Dict[str, float] | None = None,
 ) -> FactoredProblem:
     """Assemble + regularize + factor every GP block's Gram matrix.
 
     ``equilibrate`` (default) factors the diagonally-scaled matrix - exactly
     equivalent whitening, far better fp32 conditioning (the TPU regime).
+
+    ``defer_quality``: run a SINGLE factorization attempt per block with no
+    host sync, leaving the whitening-quality verdict as a pending device
+    scalar in ``FactoredProblem.quality``. The caller fetches it together
+    with its own downstream results (one round trip total) and, on a bad
+    verdict, re-calls with ``start_scales`` escalated 10x for the failing
+    blocks - the optimistic pipeline :class:`..api.GPSolver` uses on
+    remote-dispatch backends, where the eager ladder's mid-pipeline sync
+    costs more than the (rare) full redo. At n >= 8192 a cheap finiteness
+    sync still guards the O(n^3) inverse from running on a NaN factor.
+
+    ``start_scales``: per-block multiplier on the nugget-escalation starting
+    point (from a previous attempt's verdict).
     """
     from ..ops.backend import is_accelerator
 
@@ -220,10 +277,10 @@ def factorize(
     inv_factors = {}
     scales = {}
     col_scales = {}
+    quality = {}
     pts = {
         k: jnp.asarray(v, dtype=dtype) for k, v in problem.points.items()
     }
-    probe = None
     for b in problem.blocks:
         theta, nug = _assemble_block(b.kernel, b.observables, pts, nugget_type, nugget)
         if equilibrate:
@@ -236,6 +293,8 @@ def factorize(
             # retry ladder at a dtype-aware floor instead of burning attempts.
             eps = float(jnp.finfo(theta.dtype).eps)
             s = max(1.0, (4.0 * eps) / max(nugget, 1e-300))
+            if start_scales:
+                s = max(s, float(start_scales.get(b.name, 1.0)))
             # Host-sync policy: on remote-dispatch backends every sync is a
             # round trip. At small n the sync dominates the factorization, so
             # we skip the finite-check and let the whitening-quality probe
@@ -254,24 +313,21 @@ def factorize(
                     continue
                 if not want_inv:
                     break
-                # separate dispatches on purpose - see _equilibrated_cholesky
-                if on_accelerator:
-                    # raw f32 inverse carries ~1e-2 left-residual on these
-                    # ill-conditioned factors; one Newton step restores ~1e-4
-                    inv = _refined_tri_inverse(L)
-                else:
-                    inv = jax.jit(tri_inverse)(L)
-                inv = inv * d_isqrt[None, :]
-                if probe is None or probe.shape[0] != L.shape[0]:
-                    import numpy as onp
-
-                    probe = jnp.asarray(
-                        onp.random.default_rng(0).standard_normal(L.shape[0]),
-                        L.dtype,
-                    )
+                # tri-inverse kept OUT of the Cholesky executable on purpose
+                # (see _equilibrated_cholesky); within that constraint the
+                # refine+scale+probe stages fuse into one dispatch. Raw f32
+                # inverse carries ~1e-2 left-residual on these ill-conditioned
+                # factors; one Newton step restores ~1e-4.
+                inv, q_dev = _refine_scale_quality(
+                    L, d_isqrt, _probe_vec(L.shape[0], L.dtype), on_accelerator
+                )
+                if defer_quality:
+                    inv_factors[b.name] = inv
+                    quality[b.name] = q_dev
+                    break
                 import math
 
-                q = float(_whiten_quality(inv, L, d_isqrt, probe))  # ONE sync
+                q = float(q_dev)  # ONE sync
                 if math.isfinite(q) and q < 1e-2:
                     inv_factors[b.name] = inv
                     break
@@ -288,7 +344,9 @@ def factorize(
                 inv_factors[b.name] = jax.jit(tri_inverse)(L)
         factors[b.name] = L
         scales[b.name] = s
-    return FactoredProblem(problem, factors, inv_factors, scales, col_scales)
+    return FactoredProblem(
+        problem, factors, inv_factors, scales, col_scales, quality
+    )
 
 
 def _slice_structure(problem: CollocationProblem):

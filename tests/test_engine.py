@@ -451,3 +451,91 @@ def test_factorize_inverse_escalates_via_quality_probe():
     v = jnp.asarray(rng.standard_normal(L.shape[0]), L.dtype)
     resid = W @ ((L @ v) / fp.col_scales["u"]) - v
     assert float(jnp.max(jnp.abs(resid))) < 1e-2 * float(jnp.max(jnp.abs(v)))
+
+
+def test_gpsolver_deferred_quality_retries_escalation():
+    """The optimistic pipeline (``defer_quality=True``): factorization runs a
+    single un-synced attempt; GPSolver.solve fetches the pending whitening-
+    quality verdict together with the GN results and, on a corrupt factor
+    (singular Gram from duplicated collocation points), re-factorizes with an
+    escalated nugget and re-solves - transparently to the caller."""
+    rng = np.random.default_rng(0)
+    Xd_q = rng.uniform(0, 1, (30, 2))
+    Xd = jnp.asarray(np.concatenate([Xd_q] * 4))  # 4x exact duplicates
+    Xb = jnp.asarray(rng.uniform(0, 1, (10, 2)))
+    k = SquaredExponential.gaussian(0.5)
+    obs = (
+        Observable("domain", identity()),
+        Observable("boundary", identity()),
+    )
+    prob = CollocationProblem(
+        name="dup_deferred",
+        blocks=(
+            GPBlock(
+                "u", k, obs,
+                lambda z, data: jnp.concatenate([z, data["g"]]),
+            ),
+        ),
+        points={"domain": Xd, "boundary": Xb},
+        data={"g": jnp.zeros(10, jnp.float32)},
+        latent_dim=120,
+        misfits=(),
+    )
+    solver = gpt.GPSolver(
+        prob, nugget=1e-6, dtype=jnp.float32,
+        defer_quality=True, solve_mode="inverse",
+    )
+    # the single deferred attempt must NOT have escalated yet (no sync)
+    assert solver.fp.nugget_scales["u"] == 1.0
+    assert set(solver.fp.quality) == {"u"}
+    res = solver.solve(max_iter=2)
+    # solve detected the corrupt factor and escalated transparently
+    assert solver.fp.nugget_scales["u"] > 1.0
+    assert not solver.fp.quality or all(
+        float(q) < 1e-2 for q in jax.device_get(list(solver.fp.quality.values()))
+    )
+    assert bool(jnp.all(jnp.isfinite(res.z)))
+    # the final factor actually whitens
+    W = solver.fp.inv_factors["u"]
+    L = solver.fp.factors["u"]
+    v = jnp.asarray(rng.standard_normal(L.shape[0]), L.dtype)
+    resid = W @ ((L @ v) / solver.fp.col_scales["u"]) - v
+    assert float(jnp.max(jnp.abs(resid))) < 1e-2 * float(jnp.max(jnp.abs(v)))
+
+
+def test_gpsolver_deferred_quality_happy_path_single_attempt():
+    """On a well-conditioned problem the deferred pipeline accepts the first
+    factorization (no escalation) and matches the eager path's solution."""
+    rng = np.random.default_rng(1)
+    Xd = jnp.asarray(rng.uniform(0, 1, (40, 2)))
+    Xb = jnp.asarray(rng.uniform(0, 1, (12, 2)))
+    k = SquaredExponential.gaussian(0.4)
+    obs = (
+        Observable("domain", identity()),
+        Observable("boundary", identity()),
+    )
+    prob = CollocationProblem(
+        name="ok_deferred",
+        blocks=(
+            GPBlock(
+                "u", k, obs,
+                lambda z, data: jnp.concatenate([z, data["g"]]),
+            ),
+        ),
+        points={"domain": Xd, "boundary": Xb},
+        data={"g": jnp.zeros(12)},
+        latent_dim=40,
+        misfits=(),
+    )
+    s_def = gpt.GPSolver(
+        prob, nugget=1e-8, defer_quality=True, solve_mode="inverse"
+    )
+    s_eager = gpt.GPSolver(
+        prob, nugget=1e-8, defer_quality=False, solve_mode="inverse"
+    )
+    r_def = s_def.solve(max_iter=3)
+    r_eager = s_eager.solve(max_iter=3)
+    assert s_def.fp.nugget_scales == s_eager.fp.nugget_scales
+    np.testing.assert_allclose(
+        np.asarray(r_def.z), np.asarray(r_eager.z), rtol=0, atol=1e-6
+    )
