@@ -77,7 +77,8 @@ def main():
         solver = gpt.GPSolver(prob, nugget=nugget)
         res = solver.solve(max_iter=4)
         pred = res.posterior.extend(Xt)
-        pred.block_until_ready()
+        # GPSolver.errors reduces on device and fetches two scalars - the
+        # fetch is the completion barrier (no separate block_until_ready)
         return gpt.GPSolver.errors(pred, truth)
 
     run()  # warm-up: compile cache

@@ -26,8 +26,43 @@ class ErrorStats:
 
 
 def error_stats(pred, truth) -> ErrorStats:
+    """Max / RMS error. When both operands already live on a device the
+    reduction runs there and only two scalars cross the host boundary - on
+    remote-dispatch backends transferring the full prediction costs a ~25 ms
+    round trip that the reduction avoids."""
+    try:
+        import jax
+
+        if (
+            isinstance(pred, jax.Array)
+            and isinstance(truth, jax.Array)
+            and not isinstance(pred, jax.core.Tracer)
+            and not isinstance(truth, jax.core.Tracer)
+        ):
+            mx, l2 = jax.device_get(_error_scalars(pred, truth))
+            return ErrorStats(max=float(mx), l2=float(l2))
+    except ImportError:
+        pass
     err = np.abs(np.asarray(pred) - np.asarray(truth))
     return ErrorStats(max=float(err.max()), l2=float(np.sqrt(np.mean(err**2))))
+
+
+_ERR_JIT = None
+
+
+def _error_scalars(pred, truth):
+    global _ERR_JIT
+    if _ERR_JIT is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def _stats(p, t):
+            e = jnp.abs(p - t)
+            return jnp.max(e), jnp.sqrt(jnp.mean(e * e))
+
+        _ERR_JIT = _stats
+    return _ERR_JIT(pred, truth)
 
 
 class PhaseTimers:
