@@ -48,6 +48,7 @@ def main():
     from nonlinpdes_gpsolver_tpu.parallel.cholesky import (
         _chol_sharded, pad_to_blocks,
     )
+    from nonlinpdes_gpsolver_tpu.parallel.fused import _fused_arranged
     from nonlinpdes_gpsolver_tpu.parallel.gram import _assemble_arranged
     from nonlinpdes_gpsolver_tpu.solvers.distributed import (
         factorize_distributed, gn_solve_distributed,
@@ -72,7 +73,8 @@ def main():
     rows = []
     print(
         f"{'P':>3} {'n_pad':>7} {'asm_MiB/dev':>12} {'chol_MiB/dev':>13} "
-        f"{'recv_GiB/dev':>13} {'flops/dev':>11} {'fac_s':>7} {'gn_s':>7}"
+        f"{'fused_MiB/dev':>14} {'recv_GiB/dev':>13} {'flops/dev':>11} "
+        f"{'fac_s':>7} {'gn_s':>7}"
     )
     for P_ in args.ps:
         mesh = make_mesh(P_)
@@ -103,6 +105,14 @@ def main():
             chol.output_size_in_bytes + chol.temp_size_in_bytes
             - chol.alias_size_in_bytes
         )
+        fused = _fused_arranged.lower(
+            out, b.kernel, tuple(b.observables), pts, jnp.asarray(1.0),
+            "adaptive", 1e-9, mesh, "p", args.block, 4096,
+        ).compile().memory_analysis()
+        fused_dev = (
+            fused.output_size_in_bytes + fused.temp_size_in_bytes
+            - fused.alias_size_in_bytes
+        )
 
         # analytic per-device compute + received collective volume
         flops_dev = n_pad**3 / 3 / P_
@@ -121,12 +131,14 @@ def main():
 
         rows.append(dict(
             P=P_, n_pad=n_pad, asm_bytes_dev=int(asm_dev),
-            chol_bytes_dev=int(chol_dev), recv_bytes_dev=int(recv_dev),
+            chol_bytes_dev=int(chol_dev), fused_bytes_dev=int(fused_dev),
+            recv_bytes_dev=int(recv_dev),
             flops_dev=flops_dev, fac_s=t1 - t0, gn_s=t2 - t1,
         ))
         print(
             f"{P_:>3} {n_pad:>7} {asm_dev / 2**20:>12.1f} "
-            f"{chol_dev / 2**20:>13.1f} {recv_dev / 2**30:>13.2f} "
+            f"{chol_dev / 2**20:>13.1f} {fused_dev / 2**20:>14.1f} "
+            f"{recv_dev / 2**30:>13.2f} "
             f"{flops_dev:>11.2e} {t1 - t0:>7.2f} {t2 - t1:>7.2f}",
             flush=True,
         )
