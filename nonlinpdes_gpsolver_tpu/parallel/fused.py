@@ -105,18 +105,36 @@ def _chunk_blocks(nb: int, chunk_cols: int, B: int) -> int:
 
 
 def _fused_chol_kernel(
-    local, Xrow, Xcols, d_isqrt_pad, *,
+    local, Xrow, Xcols, diag_const_pad, nug_share_pad, s0, *,
     kernel, segs, nb: int, B: int, P_: int, axis: str, n: int,
-    chunk_cols: int = 4096,
+    chunk_cols: int = 4096, max_attempts: int = 8,
 ):
-    """shard_map body: left-looking fused assemble+factorize.
+    """shard_map body: left-looking fused assemble+factorize with
+    IN-EXECUTABLE nugget escalation.
 
     ``local`` (nbl, B, n_pad): this device's ZERO-INITIALIZED donated factor
     shard. ``Xrow`` (nbl, B, d): its block-cyclic row coordinates.
-    ``Xcols`` (n_pad, d), ``d_isqrt_pad`` (n_pad,): replicated. Returns the
-    finished lower-factor shard and the replicated refined diagonal-block
-    inverses (nb, B, B) - the same contract as ``_chol_kernel`` so every
-    downstream consumer (TRSMs, GN scan, checkpoint) is unchanged.
+    ``Xcols`` (n_pad, d): replicated. ``diag_const_pad``/``nug_share_pad``
+    (n_pad,): the per-row stationary diagonal constant and its trace-
+    adaptive nugget share, so the equilibration ``d^{-1/2} =
+    rsqrt(c + s * nug)`` is recomputed per attempt from the live scale
+    ``s``. Returns ``(factor shard, diag inverses, d_isqrt_pad, s, ok)``.
+
+    Escalation: a too-small nugget at f32 shows up as a non-finite diagonal
+    Cholesky block. That block is computed from the all_gather'd (hence
+    REPLICATED) diagonal, so every device sees the same failure flag: the
+    panel loop skips all remaining work via ``lax.cond`` (branch choice is
+    replicated, so the collectives stay aligned), a device-side while_loop
+    multiplies ``s`` tenfold and restarts on the zeroed buffer. A failed
+    attempt therefore costs only the panels up to first failure and no host
+    round trip - the previous host-side ladder re-dispatched the whole
+    O(n^3) executable per rung (round-2's measured N>=20k runs paid ~2x for
+    exactly this). Non-finite entries confined to one device's off-diagonal
+    rows reach a later (replicated) pivot block within a few panels, so
+    detection is at most a few panels late, never missed. The
+    finite-but-WRONG factor class (round-1 backend miscompile) is invisible
+    to finiteness checks by construction; the host-side sampled-row probe
+    ladder still guards that.
     """
     from ..ops.linalg import _cholesky_rec, _tri_inverse_rec
 
@@ -170,68 +188,112 @@ def _fused_chol_kernel(
         return branch
 
     branches = tuple(make_branch(sig) for sig in sigs)
-    dr = d_isqrt_pad[row_global]
     one = jnp.asarray(1.0, Xr.dtype)
 
-    def body(k, carry):
-        local, winvs = carry
-        kB = k * B
-        owner = k % P_
-        slot = k // P_
+    def factor_once(local, winvs, d_isqrt_pad):
+        dr = d_isqrt_pad[row_global]
 
-        # -- assemble my rows of (equilibrated, regularized) block-column k
-        Xc = lax.dynamic_slice(Xcols, (kB, 0), (B, dim))
-        acc = lax.switch(sig_table[k], branches, Xc)
-        dc = lax.dynamic_slice(d_isqrt_pad, (kB,), (B,))
-        acc = acc * (dr[:, None] * dc[None, :])
-        on_diag = (kB + jnp.arange(B))[None, :] == row_global[:, None]
-        Acol = jnp.where(on_diag, one, acc)  # (nbl*B, B)
+        def do_panel(k, local, winvs):
+            kB = k * B
+            owner = k % P_
+            slot = k // P_
 
-        # -- left-looking update: Acol -= L[:, :kB] @ row_k[:, :kB]^T.
-        # The owner's block-row k is final on columns < kB and zero beyond,
-        # so the chunk loop can overrun kB and contract against zeros.
-        cand_row = lax.dynamic_index_in_dim(local, slot, 0, keepdims=False)
-        rowk = lax.all_gather(cand_row, axis)[owner]  # (B, n_pad)
+            # assemble my rows of (equilibrated, regularized) block-column k
+            Xc = lax.dynamic_slice(Xcols, (kB, 0), (B, dim))
+            acc = lax.switch(sig_table[k], branches, Xc)
+            dc = lax.dynamic_slice(d_isqrt_pad, (kB,), (B,))
+            acc = acc * (dr[:, None] * dc[None, :])
+            on_diag = (kB + jnp.arange(B))[None, :] == row_global[:, None]
+            Acol = jnp.where(on_diag, one, acc)  # (nbl*B, B)
 
-        def chunk_body(c, Acol):
-            start = c * Wc
-            Lc = lax.dynamic_slice(
-                local, (0, 0, start), (nbl, B, Wc)
-            ).reshape(nbl * B, Wc)
-            Rc = lax.dynamic_slice(rowk, (0, start), (B, Wc))
-            return Acol - jnp.matmul(Lc, Rc.T, precision=hi)
+            # left-looking update: Acol -= L[:, :kB] @ row_k[:, :kB]^T.
+            # The owner's block-row k is final on columns < kB and zero
+            # beyond, so the chunk loop can overrun kB and contract zeros.
+            cand_row = lax.dynamic_index_in_dim(local, slot, 0, keepdims=False)
+            rowk = lax.all_gather(cand_row, axis)[owner]  # (B, n_pad)
 
-        nch = (kB + Wc - 1) // Wc
-        Acol = lax.fori_loop(0, nch, chunk_body, Acol)
-        Acol3 = Acol.reshape(nbl, B, B)
+            def chunk_body(c, Acol):
+                start = c * Wc
+                Lc = lax.dynamic_slice(
+                    local, (0, 0, start), (nbl, B, Wc)
+                ).reshape(nbl * B, Wc)
+                Rc = lax.dynamic_slice(rowk, (0, start), (B, Wc))
+                return Acol - jnp.matmul(Lc, Rc.T, precision=hi)
 
-        # -- factor the diagonal block (owner's slot, shared to everyone)
-        diag_cand = lax.dynamic_index_in_dim(Acol3, slot, 0, keepdims=False)
-        A_kk = lax.all_gather(diag_cand, axis)[owner]
-        L_kk = _cholesky_rec(A_kk, leaf)
-        W_kk = _tri_inverse_rec(L_kk, leaf)
-        E = jnp.eye(B, dtype=local.dtype) - jnp.matmul(W_kk, L_kk, precision=hi)
-        W_kk = W_kk + jnp.matmul(E, W_kk, precision=hi)
-        winvs = lax.dynamic_update_slice(winvs, W_kk[None], (k, 0, 0))
+            nch = (kB + Wc - 1) // Wc
+            Acol = lax.fori_loop(0, nch, chunk_body, Acol)
+            Acol3 = Acol.reshape(nbl, B, B)
 
-        # -- panel solve L_ik = A_ik W_kk^T for my below-diagonal rows
-        Lcol = jnp.einsum("sbc,dc->sbd", Acol3, W_kk,
-                          preferred_element_type=local.dtype, precision=hi)
-        below = (g_idx > k)[:, None, None]
-        diag_here = (g_idx == k)[:, None, None]
-        new_colk = jnp.where(
-            below, Lcol,
-            jnp.where(
-                diag_here, jnp.broadcast_to(L_kk, Lcol.shape),
-                jnp.zeros_like(Lcol),
-            ),
+            # factor the diagonal block (owner's slot, shared to everyone)
+            diag_cand = lax.dynamic_index_in_dim(Acol3, slot, 0, keepdims=False)
+            A_kk = lax.all_gather(diag_cand, axis)[owner]
+            L_kk = _cholesky_rec(A_kk, leaf)
+            # REPLICATED failure signal (same A_kk everywhere)
+            fin = jnp.all(jnp.isfinite(L_kk))
+            W_kk = _tri_inverse_rec(L_kk, leaf)
+            E = jnp.eye(B, dtype=local.dtype) - jnp.matmul(
+                W_kk, L_kk, precision=hi
+            )
+            W_kk = W_kk + jnp.matmul(E, W_kk, precision=hi)
+            winvs = lax.dynamic_update_slice(winvs, W_kk[None], (k, 0, 0))
+
+            # panel solve L_ik = A_ik W_kk^T for my below-diagonal rows
+            Lcol = jnp.einsum("sbc,dc->sbd", Acol3, W_kk,
+                              preferred_element_type=local.dtype, precision=hi)
+            below = (g_idx > k)[:, None, None]
+            diag_here = (g_idx == k)[:, None, None]
+            new_colk = jnp.where(
+                below, Lcol,
+                jnp.where(
+                    diag_here, jnp.broadcast_to(L_kk, Lcol.shape),
+                    jnp.zeros_like(Lcol),
+                ),
+            )
+            local = lax.dynamic_update_slice(local, new_colk, (0, 0, kB))
+            return local, winvs, fin
+
+        def body(k, carry):
+            local, winvs, ok = carry
+            # replicated predicate: all devices take the same branch, so the
+            # collectives inside do_panel stay aligned; after a failure the
+            # remaining panels each cost one skipped cond
+            local, winvs, fin = lax.cond(
+                ok,
+                lambda args: do_panel(k, args[0], args[1]),
+                lambda args: (args[0], args[1], jnp.asarray(True)),
+                (local, winvs),
+            )
+            return local, winvs, ok & fin
+
+        winvs = jnp.zeros((nb, B, B), local.dtype)
+        local, winvs, ok = lax.fori_loop(
+            0, nb, body, (local, winvs, jnp.asarray(True))
         )
-        local = lax.dynamic_update_slice(local, new_colk, (0, 0, kB))
-        return local, winvs
+        return local, winvs, ok
 
-    winvs0 = jnp.zeros((nb, B, B), local.dtype)
-    local, winvs = lax.fori_loop(0, nb, body, (local, winvs0))
-    return local, winvs
+    def attempt_cond(carry):
+        local, winvs, d_pad, s, att, ok = carry
+        return (~ok) & (att < max_attempts)
+
+    def attempt_body(carry):
+        local, winvs, d_pad, s, att, ok = carry
+        d_pad = jax.lax.rsqrt(diag_const_pad + s * nug_share_pad)
+        local = jnp.zeros_like(local)
+        local, winvs, ok = factor_once(local, winvs, d_pad)
+        s_next = jnp.where(ok, s, s * 10.0)
+        return local, winvs, d_pad, s_next, att + 1, ok
+
+    d_pad0 = jax.lax.rsqrt(diag_const_pad + s0 * nug_share_pad)
+    init = (
+        local, jnp.zeros((nb, B, B), local.dtype), d_pad0,
+        jnp.asarray(s0, local.dtype), jnp.asarray(0), jnp.asarray(False),
+    )
+    local, winvs, d_pad, s, att, ok = lax.while_loop(
+        attempt_cond, attempt_body, init
+    )
+    # s was advanced past the used value only on failure; on success it is
+    # the scale the accepted factor used
+    return local, winvs, d_pad, s, ok
 
 
 @partial(jax.jit, static_argnums=(1, 2, 5, 6, 7, 8, 9, 10), donate_argnums=(0,))
@@ -248,14 +310,16 @@ def _fused_arranged(
     block: int,
     chunk_cols: int = 4096,
 ):
-    """One executable: equilibration constants + fused assemble/factorize.
+    """One executable: equilibration constants + fused assemble/factorize
+    with in-executable nugget escalation.
 
     Mirrors the preamble of ``gram._assemble_arranged`` (same trace-adaptive
     nugget rule, same block-cyclic row-coordinate arrangement), then runs
-    the left-looking kernel instead of assembly. ``nugget_scale`` stays a
-    traced scalar so the escalation ladder reuses the executable.
+    the left-looking kernel. ``nugget_scale`` is the traced escalation
+    STARTING scale. Returns ``(factor shards, diag inverses, d_isqrt, s,
+    ok)`` with ``s`` the scale the accepted factor actually used.
     """
-    from .gram import _equilibration_diag
+    from .gram import _equilibration_parts
 
     segs_pts = _segments(observables, points)
     X_all = jnp.concatenate(
@@ -263,15 +327,17 @@ def _fused_arranged(
     )
     n, dim = X_all.shape
     dtype = X_all.dtype
-    d_isqrt = _equilibration_diag(
-        kernel, segs_pts, nugget_scale, nugget_type, nugget, dtype
+    c_vec, nug_vec = _equilibration_parts(
+        kernel, segs_pts, nugget_type, nugget, dtype
     )
 
     P_ = mesh.shape[axis]
     n_pad = pad_to_blocks(n, block, P_)
     nb = n_pad // block
     pad = n_pad - n
-    d_isqrt_pad = jnp.concatenate([d_isqrt, jnp.ones(pad, dtype)])
+    # padded identity tail: constant 1, no nugget -> d = 1 exactly
+    c_pad = jnp.concatenate([c_vec, jnp.ones(pad, dtype)])
+    nug_pad = jnp.concatenate([nug_vec, jnp.zeros(pad, dtype)])
     X_pad = jnp.pad(X_all, ((0, pad), (0, 0)), mode="edge")
     perm = _block_perm(nb, P_)
     Xrow = X_pad.reshape(nb, block, dim)[perm]
@@ -287,13 +353,18 @@ def _fused_arranged(
         ),
         mesh=mesh,
         in_specs=(
-            P(axis, None, None), P(axis, None, None), P(None, None), P(None),
+            P(axis, None, None), P(axis, None, None), P(None, None),
+            P(None), P(None), P(),
         ),
-        out_specs=(P(axis, None, None), P(None, None, None)),
+        out_specs=(
+            P(axis, None, None), P(None, None, None), P(None), P(), P(),
+        ),
         check_vma=False,
     )
-    local, winvs = fn(out, Xrow, X_pad, d_isqrt_pad)
-    return local, winvs, d_isqrt
+    local, winvs, d_pad, s, ok = fn(
+        out, Xrow, X_pad, c_pad, nug_pad, jnp.asarray(nugget_scale, dtype)
+    )
+    return local, winvs, d_pad[:n], s, ok
 
 
 def assemble_factor_fused(
@@ -310,9 +381,12 @@ def assemble_factor_fused(
 ):
     """Factor the (never-materialized) equilibrated regularized Gram matrix.
 
-    Returns ``(BlockCyclicFactor, d_isqrt)`` - drop-in for the
+    Returns ``(BlockCyclicFactor, d_isqrt, s, ok)`` - drop-in for the
     ``assemble_gram_sharded`` + ``cholesky`` pair, at half the kernel
-    evaluations, half the update MACs, and one executable launch.
+    evaluations, half the update MACs, and one executable launch. ``s``/
+    ``ok`` are DEVICE scalars: the nugget-escalation scale the in-executable
+    ladder settled on starting from ``nugget_scale``, and whether the factor
+    is finite (fetch them together with other results - no sync here).
     """
     pts = {k: jnp.asarray(v) for k, v in points.items()}
     observables = tuple(observables)
@@ -325,7 +399,7 @@ def assemble_factor_fused(
     out = jax.jit(
         lambda: jnp.zeros((nb, block, n_pad), dtype), out_shardings=sharding
     )()
-    local, winvs, d_isqrt = _fused_arranged(
+    local, winvs, d_isqrt, s, ok = _fused_arranged(
         out, kernel, observables, pts, jnp.asarray(nugget_scale),
         nugget_type, nugget, mesh, axis, block, chunk_cols,
     )
@@ -333,7 +407,7 @@ def assemble_factor_fused(
         local=local, mesh=mesh, axis=axis, block=block,
         n=n, n_pad=n_pad, diag_inv=winvs,
     )
-    return fac, d_isqrt
+    return fac, d_isqrt, s, ok
 
 
 # --------------------------------------------------------------------------

@@ -138,16 +138,17 @@ def _assembly_kernel(
     return out
 
 
-def _equilibration_diag(
-    kernel, segs_pts, nugget_scale, nugget_type: str, nugget: float, dtype
+def _equilibration_parts(
+    kernel, segs_pts, nugget_type: str, nugget: float, dtype
 ):
-    """``d^{-1/2}`` for the equilibrated regularized Gram matrix.
+    """Per-row ``(diagonal constant, nugget share)`` vectors (length n).
 
     Stationarity makes this O(#observables): the diagonal of each segment is
-    the constant ``(L (x) L) kappa(0)`` plus its trace-adaptive nugget share
-    (upstream trace-ratio rule, ``src/PDEs.py:62-69``). ``nugget_scale`` is
-    traced (escalation reuses the executable). Shared by the two-pass
-    assembly and the fused assemble+factorize (:mod:`.fused`).
+    the constant ``(L (x) L) kappa(0)``, and its trace-adaptive nugget share
+    follows the upstream trace-ratio rule (``src/PDEs.py:62-69``). The
+    equilibration at escalation scale ``s`` is then
+    ``d^{-1/2} = rsqrt(c + s * nug)`` - the fused factorization
+    (:mod:`.fused`) recomputes it *inside* its device-side escalation loop.
     """
     x0 = jnp.zeros((1, kernel.dim), dtype)
     diag_consts = [
@@ -171,12 +172,24 @@ def _equilibration_diag(
     else:
         raise ValueError(f"unknown nugget_type {nugget_type!r}")
 
-    s = jnp.asarray(nugget_scale, dtype)
-    d_parts = [
-        jnp.full(size, c + s * nug, dtype)
-        for (_, size, _), c, nug in zip(segs_pts, diag_consts, nuggets)
-    ]
-    return jax.lax.rsqrt(jnp.concatenate(d_parts))
+    c_vec = jnp.concatenate(
+        [jnp.full(size, c, dtype) for (_, size, _), c in zip(segs_pts, diag_consts)]
+    )
+    nug_vec = jnp.concatenate(
+        [jnp.full(size, nug, dtype) for (_, size, _), nug in zip(segs_pts, nuggets)]
+    )
+    return c_vec, nug_vec
+
+
+def _equilibration_diag(
+    kernel, segs_pts, nugget_scale, nugget_type: str, nugget: float, dtype
+):
+    """``d^{-1/2}`` for the equilibrated regularized Gram matrix at a fixed
+    (traced) escalation scale - the two-pass assembly path."""
+    c_vec, nug_vec = _equilibration_parts(
+        kernel, segs_pts, nugget_type, nugget, dtype
+    )
+    return jax.lax.rsqrt(c_vec + jnp.asarray(nugget_scale, dtype) * nug_vec)
 
 
 @partial(jax.jit, static_argnums=(1, 2, 5, 6, 7, 8, 9, 10), donate_argnums=(0,))

@@ -164,21 +164,35 @@ def factorize_distributed(
             # -> escalate -> stale `lower` + new assembly = 2x shards)
             fac = lower = winvs = w = None
             if fused:
-                fac, d_isqrt = assemble_factor_fused(
+                fac, d_isqrt, s_dev, ok_dev = assemble_factor_fused(
                     b.kernel, b.observables, problem.points, mesh,
                     axis=axis, block=block, nugget=nugget,
                     nugget_type=nugget_type, nugget_scale=s,
                     chunk_cols=chunk_cols,
                 )
                 if not guard:
+                    # dryrun/fully-jitted contexts: no sync; the in-kernel
+                    # ladder handled the NaN class, scale stays on device
+                    s = s_dev
                     break
                 import math
 
-                q = float(sampled_row_quality(
+                q_dev = sampled_row_quality(
                     fac, b.kernel, b.observables, problem.points, d_isqrt
-                ))  # ONE sync
+                )
+                # ONE sync: probe verdict + the scale the in-executable
+                # NaN-escalation ladder settled on + its success flag
+                q, s_used, ok = map(float, jax.device_get((q_dev, s_dev, ok_dev)))
+                if not ok:
+                    raise FloatingPointError(
+                        f"block {b.name!r}: fused factorization still "
+                        f"non-finite after in-executable nugget escalation "
+                        f"to {s_used:g}x"
+                    )
+                s = s_used
                 if math.isfinite(q) and q < quality_tol:
                     break
+                # finite but corrupt (the miscompile class): host ladder
                 s *= 10.0
                 continue
             arranged, d_isqrt = assemble_gram_sharded(

@@ -70,9 +70,10 @@ def test_fused_matches_two_pass_elliptic(eight_devices, P_, block, chunk):
     )
     lower, _ = _chol_sharded(arranged, mesh, "p", block, chunk)
     Lt = unshard_rows_blockcyclic(lower, mesh, "p", block, n)
-    fac, d2 = assemble_factor_fused(
+    fac, d2, s_dev, ok_dev = assemble_factor_fused(
         k, obs, pts, mesh, block=block, nugget=1e-4, chunk_cols=chunk
     )
+    assert bool(ok_dev) and float(s_dev) == 1.0  # single in-kernel attempt
     Lf = np.asarray(fac.dense())
     assert float(jnp.max(jnp.abs(d1 - d2))) == 0.0
     err = np.max(np.abs(Lf - np.asarray(Lt)))
@@ -101,9 +102,10 @@ def test_fused_matches_two_pass_burgers_ops(eight_devices, P_, block, chunk):
     )
     lower, _ = _chol_sharded(arranged, mesh, "p", block, chunk)
     Lt = unshard_rows_blockcyclic(lower, mesh, "p", block, n)
-    fac, d2 = assemble_factor_fused(
+    fac, d2, s_dev, ok_dev = assemble_factor_fused(
         k, obs, pts, mesh, block=block, nugget=1e-2, chunk_cols=chunk
     )
+    assert bool(ok_dev) and float(s_dev) == 1.0
     Lf = np.asarray(fac.dense())
     err = np.max(np.abs(Lf - np.asarray(Lt)))
     assert err < 1e-8
@@ -145,7 +147,7 @@ def test_sampled_row_probe_catches_corruption(eight_devices):
 
     k, obs, pts, n = _elliptic_setup()
     mesh = make_mesh(4)
-    fac, d2 = assemble_factor_fused(k, obs, pts, mesh, block=8, nugget=1e-4)
+    fac, d2, _, _ = assemble_factor_fused(k, obs, pts, mesh, block=8, nugget=1e-4)
     q_good = float(sampled_row_quality(fac, k, obs, pts, d2))
     assert q_good < 1e-8
     bad = dataclasses.replace(fac, local=fac.local * 1.01)  # finite, wrong
