@@ -101,7 +101,11 @@ def main():
                 st = gn_solve_distributed(
                     fp, max_iter=args.gn_steps, step_solver=args.step_solver,
                 )
-                st.z.block_until_ready()
+                # NOTE a real value fetch is the only reliable completion
+                # barrier on this backend (block_until_ready can return
+                # before execution; compiles are async and are absorbed by
+                # the first fetch)
+                jax.device_get(st.z)
                 t2 = time.perf_counter()
                 pred = DistributedPosterior(fp, st.z).extend(Xt)
             else:
@@ -110,10 +114,10 @@ def main():
                 st = gn_solve(
                     fp, max_iter=args.gn_steps, step_solver=args.step_solver
                 )
-                st.z.block_until_ready()
+                jax.device_get(st.z)  # real fetch = reliable barrier
                 t2 = time.perf_counter()
                 pred = Posterior(fp, st.z).extend(Xt)
-            pred.block_until_ready()
+            jax.device_get(pred)  # real fetch = reliable barrier
             t3 = time.perf_counter()
             return prob, (t1 - t0, t2 - t1, t3 - t2), gpt.GPSolver.errors(pred, truth)
 

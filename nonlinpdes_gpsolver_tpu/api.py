@@ -182,13 +182,31 @@ class GPSolver:
             # pending deferred whitening-quality verdicts (separate syncs
             # would each pay full latency on remote backends).
             qnames = sorted(getattr(self.fp, "quality", {}) or {})
-            finite, losses, qvals = jax.device_get(
+            pend = getattr(self.fp, "pending_scales", {}) or {}
+            finite, losses, qvals, pvals = jax.device_get(
                 (
                     state.converged_finite,
                     state.losses,
                     [self.fp.quality[n] for n in qnames] if qnames else [],
+                    [pend[n] for n in qnames if n in pend],
                 )
             )
+            # resolve the in-executable escalation ladder's outcome: the
+            # real scale each block used, and whether it ran out of rungs
+            for n, (s_used, ok) in zip([n for n in qnames if n in pend], pvals):
+                if not bool(ok):
+                    raise FloatingPointError(
+                        f"problem {self.problem.name!r} block {n!r}: "
+                        f"factorization non-finite after in-executable "
+                        f"nugget escalation to {float(s_used):g}x"
+                    )
+                prev = self.fp.nugget_scales.get(n)
+                self.fp.nugget_scales[n] = float(s_used)
+                if float(s_used) != (prev if prev is not None else 1.0):
+                    log.warning(
+                        "block %r: nugget escalated x%g to keep Cholesky "
+                        "finite", n, float(s_used),
+                    )
             bad = {
                 n: float(q)
                 for n, q in zip(qnames, qvals)

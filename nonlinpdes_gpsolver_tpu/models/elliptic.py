@@ -27,14 +27,39 @@ from ..ops.operators import identity, laplacian
 from .spec import CollocationProblem, GPBlock, Misfit
 
 
-@lru_cache(maxsize=None)
+_VMAP_CACHE: dict = {}
+
+
+def _eval_key(fn: Callable):
+    """Semantic cache key for a user data callable: code object + defaults +
+    closure cell VALUES. Two lambdas created by re-executing the same source
+    line (e.g. ``rhs_f=lambda x: 1.0`` inside a per-solve function) are
+    distinct objects but share code and closure values - an identity-keyed
+    cache would re-trace AND re-compile per solve (trivial compiles fall
+    below the persistent-cache threshold, so on a remote-compile backend
+    each miss costs a fresh ~0.3 s compile; measured as a per-solve
+    regression on the eikonal benchmark). Unhashable closure contents
+    (arrays) fall back to identity."""
+    try:
+        cells = tuple(c.cell_contents for c in (fn.__closure__ or ()))
+        hash(cells)
+        return (fn.__code__, fn.__defaults__, cells)
+    except Exception:
+        return fn
+
+
 def _vmapped_jit(fn: Callable):
-    """One jitted vmap per user function object: an eager ``jax.vmap``
-    executes op-by-op (hundreds of tiny dispatches for an autodiff-derived
-    rhs - measured 0.25 s per problem build on the remote-dispatch TPU
-    backend, dwarfing the solve itself); under ``jit`` it is one launch,
-    cached across problem rebuilds."""
-    return jax.jit(jax.vmap(fn))
+    """One jitted vmap per (semantically distinct) user function: an eager
+    ``jax.vmap`` executes op-by-op (hundreds of tiny dispatches for an
+    autodiff-derived rhs - measured 0.25 s per problem build on the
+    remote-dispatch TPU backend, dwarfing the solve itself); under ``jit``
+    it is one launch, cached across problem rebuilds."""
+    key = _eval_key(fn)
+    g = _VMAP_CACHE.get(key)
+    if g is None:
+        g = jax.jit(jax.vmap(fn))
+        _VMAP_CACHE[key] = g
+    return g
 
 
 def _eval_on(fn: Optional[Callable], X: jnp.ndarray) -> jnp.ndarray:

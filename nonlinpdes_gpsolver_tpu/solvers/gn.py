@@ -96,7 +96,11 @@ class FactoredProblem:
     # factorization ran with ``defer_quality=True``; the caller must fetch
     # them (cheaply, alongside its own results) and re-factorize with
     # escalated ``start_scales`` if any is non-finite or >= 1e-2.
+    # ``pending_scales`` holds the matching (scale, ok) device scalars from
+    # the in-executable escalation ladder; after fetching, the caller
+    # overwrites ``nugget_scales`` entries with the real values.
     quality: Dict[str, jnp.ndarray] = dataclasses.field(default_factory=dict)
+    pending_scales: Dict[str, tuple] = dataclasses.field(default_factory=dict)
 
     def _whiten(self, name: str, v: jnp.ndarray) -> jnp.ndarray:
         if name in self.inv_factors:
@@ -150,13 +154,14 @@ class GNState(NamedTuple):
 
 
 @partial(jax.jit, static_argnums=(3,))
-def _equilibrated_cholesky(theta, nug_diag, s, use_controlled):
-    """Factor ``D^{-1/2} (theta + s*diag(nug)) D^{-1/2}`` (unit diagonal).
-
-    ``s`` is a *traced* scalar so the host-side nugget-escalation retry loop
-    reuses one compiled executable (a Python-float ``s`` would recompile per
-    attempt - expensive when compilation is remote). Returns
-    ``(L, d_isqrt, finite)``.
+def _equilibrated_cholesky(theta, nug_diag, s0, use_controlled):
+    """Factor ``D^{-1/2} (theta + s*diag(nug)) D^{-1/2}`` (unit diagonal)
+    with IN-EXECUTABLE nugget escalation: a device-side while_loop retries
+    at ``s * 10`` whenever the factor comes out non-finite (the
+    too-small-nugget-for-the-dtype class), up to 8 attempts - no host round
+    trip and no wasted downstream work per rung. Returns
+    ``(L, d_isqrt, s, ok)`` with ``s`` the scale the accepted factor used
+    (device scalars; fetch them with other results).
 
     ``use_controlled`` selects the precision-controlled recursive
     factorization (:func:`..ops.linalg.recursive_cholesky`) - required on
@@ -171,16 +176,38 @@ def _equilibrated_cholesky(theta, nug_diag, s, use_controlled):
     same ops dispatched as separate executables are correct to ~1e-4 -
     reproduced deterministically, shape-dependent (fine at n<=4k). The
     factorization path therefore keeps them as separate dispatches and
-    additionally probes whitening quality (:func:`_whiten_quality`) so any
-    silent corruption is caught and handled by nugget escalation rather
-    than poisoning the solve.
+    additionally probes whitening quality (:func:`_refine_scale_quality`)
+    so any silent corruption (which finiteness checks provably miss) is
+    caught and handled by host-side nugget escalation rather than poisoning
+    the solve.
     """
-    d = jnp.diagonal(theta) + s * nug_diag
-    d_isqrt = jax.lax.rsqrt(d)
-    M = theta * (d_isqrt[:, None] * d_isqrt[None, :])
-    M = M.at[jnp.arange(theta.shape[0]), jnp.arange(theta.shape[0])].set(1.0)
-    L = recursive_cholesky(M) if use_controlled else jnp.linalg.cholesky(M)
-    return L, d_isqrt, jnp.all(jnp.isfinite(L))
+    n = theta.shape[0]
+    idx = jnp.arange(n)
+
+    def attempt(s):
+        d = jnp.diagonal(theta) + s * nug_diag
+        d_isqrt = jax.lax.rsqrt(d)
+        M = theta * (d_isqrt[:, None] * d_isqrt[None, :])
+        M = M.at[idx, idx].set(1.0)
+        L = recursive_cholesky(M) if use_controlled else jnp.linalg.cholesky(M)
+        return L, d_isqrt, jnp.all(jnp.isfinite(L))
+
+    def cond(c):
+        L, d_isqrt, s, att, ok = c
+        return (~ok) & (att < 8)
+
+    def body(c):
+        _, _, s, att, _ = c
+        L, d_isqrt, ok = attempt(s)
+        # on success s stays the used value; on failure it advances
+        return L, d_isqrt, jnp.where(ok, s, s * 10.0), att + 1, ok
+
+    init = (
+        jnp.zeros_like(theta), jnp.zeros(n, theta.dtype),
+        jnp.asarray(s0, theta.dtype), jnp.asarray(0), jnp.asarray(False),
+    )
+    L, d_isqrt, s, att, ok = jax.lax.while_loop(cond, body, init)
+    return L, d_isqrt, s, ok
 
 
 @jax.jit
@@ -278,6 +305,7 @@ def factorize(
     scales = {}
     col_scales = {}
     quality = {}
+    pending_scales = {}
     pts = {
         k: jnp.asarray(v, dtype=dtype) for k, v in problem.points.items()
     }
@@ -292,26 +320,27 @@ def factorize(
             # working dtype they are no regularization at all, so start the
             # retry ladder at a dtype-aware floor instead of burning attempts.
             eps = float(jnp.finfo(theta.dtype).eps)
-            s = max(1.0, (4.0 * eps) / max(nugget, 1e-300))
+            s0 = max(1.0, (4.0 * eps) / max(nugget, 1e-300))
             if start_scales:
-                s = max(s, float(start_scales.get(b.name, 1.0)))
-            # Host-sync policy: on remote-dispatch backends every sync is a
-            # round trip. At small n the sync dominates the factorization, so
-            # we skip the finite-check and let the whitening-quality probe
-            # (which also catches NaN) arbitrate; at large n a NaN factor
-            # must be caught *before* paying the O(n^3) inverse+refinement on
-            # garbage, so the early sync pays for itself.
-            check_finite_early = theta.shape[0] >= 8192
-            s_attempted = s
+                s0 = max(s0, float(start_scales.get(b.name, 1.0)))
+            s = s0
+            # The non-finite (nugget-too-small) class escalates INSIDE the
+            # Cholesky executable - zero host round trips, and a deferred
+            # pipeline never re-runs GN over it. The host loop below exists
+            # only for the finite-but-CORRUPT class, which only the
+            # whitening-quality probe can see.
             for _ in range(8):
-                s_attempted = s
-                L, d_isqrt, finite = _equilibrated_cholesky(
-                    theta, nug, jnp.asarray(s, theta.dtype), on_accelerator
+                L, d_isqrt, s_dev, ok_dev = _equilibrated_cholesky(
+                    theta, nug, s, on_accelerator
                 )
-                if (check_finite_early or not want_inv) and not bool(finite):
-                    s *= 10.0
-                    continue
                 if not want_inv:
+                    ok = bool(ok_dev)  # CPU/trsm path: syncs are cheap there
+                    if not ok:
+                        raise FloatingPointError(
+                            f"block {b.name!r}: Cholesky non-finite after "
+                            f"in-executable nugget escalation (start {s:g}x)"
+                        )
+                    s = float(s_dev)
                     break
                 # tri-inverse kept OUT of the Cholesky executable on purpose
                 # (see _equilibrated_cholesky); within that constraint the
@@ -324,18 +353,24 @@ def factorize(
                 if defer_quality:
                     inv_factors[b.name] = inv
                     quality[b.name] = q_dev
+                    pending_scales[b.name] = (s_dev, ok_dev)
                     break
                 import math
 
-                q = float(q_dev)  # ONE sync
+                q, s, ok = map(float, jax.device_get((q_dev, s_dev, ok_dev)))
+                if not ok:
+                    raise FloatingPointError(
+                        f"block {b.name!r}: Cholesky non-finite after "
+                        f"in-executable nugget escalation to {s:g}x"
+                    )
                 if math.isfinite(q) and q < 1e-2:
                     inv_factors[b.name] = inv
                     break
                 s *= 10.0  # finite but corrupted factor: escalate anyway
             else:
                 raise FloatingPointError(
-                    f"block {b.name!r}: Cholesky failed after nugget "
-                    f"escalation to {s_attempted:g}x"
+                    f"block {b.name!r}: factor quality still bad after "
+                    f"nugget escalation to {s:g}x"
                 )
             col_scales[b.name] = d_isqrt
         else:
@@ -345,7 +380,8 @@ def factorize(
         factors[b.name] = L
         scales[b.name] = s
     return FactoredProblem(
-        problem, factors, inv_factors, scales, col_scales, quality
+        problem, factors, inv_factors, scales, col_scales, quality,
+        pending_scales,
     )
 
 
