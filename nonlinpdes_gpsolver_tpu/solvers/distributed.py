@@ -663,6 +663,35 @@ def _block_weights_dist(fp: DistributedFactoredProblem, b, z_star):
     return fn(fac.local, fac.diag_inv, d_pad, z_star, fp.problem.data)
 
 
+@partial(jax.jit, static_argnums=(0, 1, 2, 8, 9, 10, 11, 12))
+def _dist_variance(
+    kernel, op, observables, points, localL, winvs, scale, X_test,
+    n: int = 0, block: int = 0, mesh=None, axis: str = "p", m_pad: int = 0,
+):
+    """Fused posterior-variance executable (see
+    :meth:`DistributedPosterior.variance`)."""
+    from jax.sharding import NamedSharding
+
+    from ..ops.assembly import cross_gram
+    from ..parallel.cholesky import _trsm_sharded
+
+    ct = cross_gram(kernel, op, X_test, observables, points)  # (m, n)
+    pair = kernel.pair_fn(op, op)
+    prior = jax.vmap(lambda x: pair(x[None], x[None])[0, 0])(X_test)
+    V = ct.T
+    if scale is not None:
+        V = V * scale[:, None]
+    n_pad = localL.shape[0] * block
+    m = V.shape[1]
+    V = jnp.pad(V, ((0, n_pad - n), (0, m_pad - m)))
+    V = jax.lax.with_sharding_constraint(
+        V, NamedSharding(mesh, P(None, axis))
+    )
+    Y = _trsm_sharded(localL, winvs, V, mesh, axis, block, False, True)
+    q = jnp.sum(Y[:n] * Y[:n], axis=0)[:m]
+    return jnp.clip(prior - q, 0.0)
+
+
 class DistributedPosterior:
     """Posterior means and variances with representer weights computed by
     distributed triangular solves against the sharded factors (the
@@ -709,18 +738,29 @@ class DistributedPosterior:
         cross-covariance panel is column-sharded over the mesh (one column
         per test point), so per-device memory is ``n * n_test / P``.
         Semantics match the single-device :meth:`.posterior.Posterior.
-        variance` (nugget-regularized prior, clipped at zero)."""
-        import numpy as onp
+        variance` (nugget-regularized prior, clipped at zero). The whole
+        computation (cross-Gram, scale, pad, distributed TRSM, reduction)
+        is one compiled executable - the eager chain cost ~1 s of host
+        dispatch per call on remote-dispatch backends."""
+        from ..ops.operators import identity
 
-        b, op, ct = self._cross(X_test, block, op)
-        pair = b.kernel.pair_fn(op, op)
-        X_test = jnp.asarray(X_test)
-        prior = jax.vmap(lambda x: pair(x[None], x[None])[0, 0])(X_test)
+        p = self.fp.problem
+        b = p.block(block) if block is not None else p.blocks[0]
+        if op is None:
+            op = identity(b.kernel.dim)
         fac = self.fp.factors[b.name]
-        V = trsm_blockcyclic(
-            fac, self.fp._scale(b.name, ct.T), shard_cols=True
+        if fac.diag_inv is None:
+            from ..parallel.cholesky import diag_inverses
+
+            fac.diag_inv = diag_inverses(fac.local, fac.mesh, fac.axis, fac.block)
+        X_test = jnp.asarray(X_test)
+        P_ = fac.mesh.shape[fac.axis]
+        m_pad = ((X_test.shape[0] + P_ - 1) // P_) * P_
+        return _dist_variance(
+            b.kernel, op, b.observables, p.points, fac.local, fac.diag_inv,
+            self.fp.col_scales.get(b.name), X_test,
+            fac.n, fac.block, fac.mesh, fac.axis, m_pad,
         )
-        return jnp.clip(prior - jnp.sum(V * V, axis=0), 0.0)
 
     def std(self, X_test, block: str | None = None, op=None) -> jnp.ndarray:
         return jnp.sqrt(self.variance(X_test, block=block, op=op))
