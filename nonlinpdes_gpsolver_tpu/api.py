@@ -81,11 +81,12 @@ class GPSolver:
         if defer_quality is None:
             # Optimistic pipeline on accelerators (remote dispatch: a
             # mid-factorize sync costs more than the rare full redo); the
-            # eager in-factorize ladder on CPU.
+            # eager in-factorize ladder on CPU. Applies to BOTH the dense
+            # and the mesh path (the mesh probe verdict defers identically).
             from .ops.backend import is_accelerator
 
-            defer_quality = mesh is None and is_accelerator()
-        self._defer_quality = bool(defer_quality) and mesh is None
+            defer_quality = is_accelerator()
+        self._defer_quality = bool(defer_quality)
         self._start_scales: dict = {}
         self._factorize()
 
@@ -111,6 +112,8 @@ class GPSolver:
                     nugget=self._fact_args["nugget"],
                     nugget_type=self._fact_args["nugget_type"],
                     block=self._mesh_block,
+                    defer_quality=self._defer_quality,
+                    start_scales=self._start_scales or None,
                 )
             else:
                 self.fp = factorize(
@@ -139,7 +142,8 @@ class GPSolver:
         """Run the Gauss-Newton solve (see :func:`..solvers.gn.gn_solve`).
 
         ``tol``: optional loss-plateau stopping tolerance - iterate until
-        relative loss change <= tol or ``max_iter`` (single-device path).
+        relative loss change <= tol or ``max_iter`` (both the single-device
+        and the mesh path; device-side while_loop, no per-iteration sync).
         """
         import math
 
@@ -157,6 +161,7 @@ class GPSolver:
                         step_size=step_size,
                         hessian_jitter=hessian_jitter,
                         step_solver=step_solver,
+                        tol=tol,
                     )
                 else:
                     state = gn_solve(
@@ -228,6 +233,13 @@ class GPSolver:
                 self.problem.name,
                 bad,
             )
+            # drop EVERY reference to the corrupt factors before the redo:
+            # holding the old n^2(/P) arrays across the re-assembly doubles
+            # peak HBM exactly when escalation triggers at scale (the
+            # round-2 retry-OOM class)
+            post = None  # noqa: F841 - frees the posterior's factor refs
+            state = None  # noqa: F841
+            self.fp = None
             self._factorize()
         else:
             raise FloatingPointError(

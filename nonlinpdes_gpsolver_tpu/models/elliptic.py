@@ -32,18 +32,30 @@ _VMAP_CACHE: dict = {}
 
 def _eval_key(fn: Callable):
     """Semantic cache key for a user data callable: code object + defaults +
-    closure cell VALUES. Two lambdas created by re-executing the same source
-    line (e.g. ``rhs_f=lambda x: 1.0`` inside a per-solve function) are
-    distinct objects but share code and closure values - an identity-keyed
-    cache would re-trace AND re-compile per solve (trivial compiles fall
-    below the persistent-cache threshold, so on a remote-compile backend
-    each miss costs a fresh ~0.3 s compile; measured as a per-solve
-    regression on the eikonal benchmark). Unhashable closure contents
-    (arrays) fall back to identity."""
+    closure cell VALUES + referenced global VALUES. Two lambdas created by
+    re-executing the same source line (e.g. ``rhs_f=lambda x: 1.0`` inside a
+    per-solve function) are distinct objects but share code and environment -
+    an identity-keyed cache would re-trace AND re-compile per solve (trivial
+    compiles fall below the persistent-cache threshold, so on a
+    remote-compile backend each miss costs a fresh ~0.3 s compile; measured
+    as a per-solve regression on the eikonal benchmark).
+
+    The key must cover every value the function can read: a closure-free
+    callable reading a module-level variable that is later REBOUND (re-run
+    notebook cell, mutated config global) would otherwise hit the cache and
+    silently evaluate with the stale traced value. ``co_names`` lists every
+    global/builtin name the code object loads, so their current values join
+    the key; anything unhashable (arrays, lists) falls back to identity
+    keying - correct, just uncached."""
     try:
         cells = tuple(c.cell_contents for c in (fn.__closure__ or ()))
-        hash(cells)
-        return (fn.__code__, fn.__defaults__, cells)
+        gl = fn.__globals__
+        gvals = tuple(
+            (name, gl[name]) for name in fn.__code__.co_names if name in gl
+        )
+        key = (fn.__code__, fn.__defaults__, cells, gvals)
+        hash(key)
+        return key
     except Exception:
         return fn
 

@@ -276,3 +276,115 @@ def test_gpsolver_facade_mesh_path(eight_devices):
     err = gpt.GPSolver.errors(pred, jax.vmap(u_truth)(Xt))
     assert err.l2 < 1e-3
     assert "factorize" in res.timers and "gauss_newton" in res.timers
+
+
+def test_distributed_tol_zero_matches_fixed_scan(eight_devices):
+    """tol mode with an unreachable plateau threshold must reproduce the
+    fixed-length scan exactly (same executable math, while_loop framing)."""
+    prob, _ = _elliptic_problem()
+    mesh = make_mesh(8)
+    dfp = factorize_distributed(prob, mesh, nugget=1e-10, block=16)
+    st_fix = gn_solve_distributed(dfp, max_iter=4, step_solver="direct")
+    st_tol = gn_solve_distributed(dfp, max_iter=4, step_solver="direct", tol=0.0)
+    np.testing.assert_array_equal(np.asarray(st_fix.z), np.asarray(st_tol.z))
+    np.testing.assert_array_equal(
+        np.asarray(st_fix.losses), np.asarray(st_tol.losses)
+    )
+
+
+def test_distributed_tol_stops_on_plateau(eight_devices):
+    """A generous tolerance stops the loop early; the untaken iterations are
+    padded with the final loss (exactly-equal tail entries), and the solve is
+    as accurate as the converged fixed run."""
+    prob, _ = _elliptic_problem()
+    mesh = make_mesh(8)
+    dfp = factorize_distributed(prob, mesh, nugget=1e-10, block=16)
+    st = gn_solve_distributed(dfp, max_iter=8, tol=0.2)
+    losses = np.asarray(st.losses)
+    assert losses.shape == (8,)
+    # elliptic GN converges in ~3 iters; a 20% plateau test must fire before 8
+    assert losses[-1] == losses[-2] == losses[-3]  # exact pad values
+    st_fix = gn_solve_distributed(dfp, max_iter=8)
+    np.testing.assert_allclose(
+        float(losses[-1]), float(np.asarray(st_fix.losses)[-1]), rtol=1e-2
+    )
+    # facade passthrough
+    solver = gpt.GPSolver(prob, nugget=1e-10, mesh=mesh, mesh_block=16)
+    res = solver.solve(max_iter=8, tol=0.2)
+    assert np.asarray(res.losses)[-1] == np.asarray(res.losses)[-2]
+
+
+def test_factorize_distributed_guard_false_keeps_host_scales(eight_devices):
+    """guard=False must not leak device scalars into the host-typed
+    ``nugget_scales`` dict (round-3 advisor finding: a stored device scalar
+    forces a blocking sync on the first host-side ``scale != 1.0`` check,
+    defeating the no-sync dryrun path). The device-side outcome is exposed
+    separately via ``pending_scales``."""
+    prob, _ = _elliptic_problem()
+    mesh = make_mesh(8)
+    dfp = factorize_distributed(prob, mesh, nugget=1e-10, block=16, guard=False)
+    for v in dfp.nugget_scales.values():
+        assert type(v) is float
+    assert set(dfp.pending_scales) == {"u"}
+    s_dev, ok_dev = dfp.pending_scales["u"]
+    assert bool(ok_dev) and float(s_dev) >= 1.0
+
+
+def test_gpsolver_mesh_deferred_quality_retries_escalation(eight_devices):
+    """Mesh-path optimistic pipeline (round-3 VERDICT item 7): one un-synced
+    factorization attempt per block, the sampled-row verdict fetched with the
+    GN results, transparent re-factorization with an escalated nugget on a
+    corrupt factor (singular Gram from duplicated collocation points)."""
+    import jax as _jax
+
+    _jax.config.update("jax_enable_x64", False)
+    try:
+        rng = np.random.default_rng(0)
+        Xd_q = rng.uniform(0, 1, (30, 2)).astype(np.float32)
+        Xd = jnp.asarray(np.concatenate([Xd_q] * 4))
+        Xb = jnp.asarray(rng.uniform(0, 1, (12, 2)).astype(np.float32))
+
+        def u_truth(x):
+            return jnp.sin(jnp.pi * x[0]) * jnp.sin(jnp.pi * x[1])
+
+        def rhs_f(x):
+            return -jnp.trace(jax.hessian(u_truth)(x)) + u_truth(x) ** 3
+
+        k = gpt.SquaredExponential.gaussian(0.3)
+        prob = gpt.models.nonlinear_elliptic(k, Xd, Xb, rhs_f, u_truth, seed=1)
+        mesh = make_mesh(8)
+        solver = gpt.GPSolver(
+            prob, nugget=1e-6, mesh=mesh, mesh_block=16, defer_quality=True
+        )
+        # single deferred attempt: no sync has resolved the real scale yet
+        assert set(solver.fp.quality) == {"u"}
+        assert set(solver.fp.pending_scales) == {"u"}
+        res = solver.solve(max_iter=2)
+        # solve arbitrated the verdicts and escalated transparently
+        assert solver.fp.nugget_scales["u"] > 1.0
+        r = solver.fp.whitened_residual(
+            prob.init_latent().astype(jnp.float32)
+        )
+        assert bool(jnp.all(jnp.isfinite(r)))
+        assert bool(jnp.all(jnp.isfinite(res.z)))
+    finally:
+        _jax.config.update("jax_enable_x64", True)
+
+
+def test_gpsolver_mesh_deferred_happy_path_matches_eager(eight_devices):
+    """On a well-conditioned problem the deferred mesh pipeline accepts the
+    first factorization and matches the eager mesh path's solution."""
+    prob, _ = _elliptic_problem()
+    mesh = make_mesh(8)
+    s_def = gpt.GPSolver(
+        prob, nugget=1e-10, mesh=mesh, mesh_block=16, defer_quality=True
+    )
+    s_eager = gpt.GPSolver(
+        prob, nugget=1e-10, mesh=mesh, mesh_block=16, defer_quality=False
+    )
+    r_def = s_def.solve(max_iter=3)
+    r_eager = s_eager.solve(max_iter=3)
+    assert s_def.fp.nugget_scales == s_eager.fp.nugget_scales
+    np.testing.assert_allclose(
+        np.asarray(r_def.z), np.asarray(r_eager.z), rtol=0, atol=1e-9
+    )

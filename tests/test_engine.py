@@ -539,3 +539,37 @@ def test_gpsolver_deferred_quality_happy_path_single_attempt():
     np.testing.assert_allclose(
         np.asarray(r_def.z), np.asarray(r_eager.z), rtol=0, atol=1e-6
     )
+
+
+def test_eval_cache_key_tracks_module_globals():
+    """A closure-free data callable reading a module-level variable must NOT
+    hit the jitted-vmap cache after the global is rebound (round-3 advisor
+    finding: the cache key ignored ``fn.__globals__``, so a re-run notebook
+    cell silently evaluated with the stale traced value)."""
+    import types
+
+    from nonlinpdes_gpsolver_tpu.models.elliptic import _eval_on
+
+    mod = types.ModuleType("fake_user_module")
+    exec("import jax.numpy as jnp\ndef f(x):\n    return AMP * x[0]", mod.__dict__)
+    mod.AMP = 2.0
+    X = jnp.asarray(np.asarray([[1.0, 0.0], [3.0, 0.0]]))
+    first = np.asarray(_eval_on(mod.f, X))
+    np.testing.assert_allclose(first, [2.0, 6.0])
+    mod.AMP = 5.0  # rebind the global; same function object
+    second = np.asarray(_eval_on(mod.f, X))
+    np.testing.assert_allclose(second, [5.0, 15.0])
+
+
+def test_eval_cache_key_unhashable_global_falls_back():
+    """An unhashable global (array) degrades to identity keying - correct
+    values, just uncached."""
+    import types
+
+    from nonlinpdes_gpsolver_tpu.models.elliptic import _eval_on
+
+    mod = types.ModuleType("fake_user_module2")
+    exec("def f(x):\n    return (ARR * x).sum()", mod.__dict__)
+    mod.ARR = jnp.asarray(np.asarray([1.0, 2.0]))
+    X = jnp.asarray(np.asarray([[1.0, 1.0], [2.0, 0.0]]))
+    np.testing.assert_allclose(np.asarray(_eval_on(mod.f, X)), [3.0, 2.0])
