@@ -47,11 +47,39 @@ def _block_weights(residual, mode, arr, scale, z, data):
     return y * scale if mode == "trsm_scaled" else y
 
 
-@partial(jax.jit, static_argnums=(0, 1, 3))
-def _extend_jit(kernel, op, X_test, observables, points, w):
-    """Cross-Gram + representer matvec fused into one executable."""
-    ct = cross_gram(kernel, op, X_test, observables, points)
-    return jnp.matmul(ct, w, precision=_HI)
+def _serving_chunk(rows: int, n_train: int, budget_elems: int = 1 << 26):
+    """Static row-chunk size bounding the cross-Gram temporary at
+    ``budget_elems`` elements (256 MB f32 by default), or ``None`` when the
+    whole panel fits. ``rows * n_train`` is the panel the reference
+    materializes per ``extend_sol`` call (``src/PDEs.py:203-208`` upstream) -
+    at the north-star n~213k a 60x60 test grid alone is a 3 GB temporary, so
+    serving-scale extension must be chunked."""
+    if rows * max(n_train, 1) <= budget_elems:
+        return None
+    return max(128, budget_elems // max(n_train, 1))
+
+
+@partial(jax.jit, static_argnums=(0, 1, 3, 6))
+def _extend_jit(kernel, op, X_test, observables, points, w, chunk=None):
+    """Cross-Gram + representer matvec fused into one executable.
+
+    ``chunk`` (static): evaluate in row chunks of at most ``chunk`` test
+    points under ``lax.map`` - the (chunk, n) cross-Gram strip is the only
+    panel-sized temporary, so memory stays bounded at any number of test
+    points (serving scale)."""
+    m = X_test.shape[0]
+    if chunk is None or m <= chunk:
+        ct = cross_gram(kernel, op, X_test, observables, points)
+        return jnp.matmul(ct, w, precision=_HI)
+    m_pad = -(-m // chunk) * chunk
+    Xp = jnp.pad(X_test, ((0, m_pad - m), (0, 0)), mode="edge")
+
+    def f(xs):
+        ct = cross_gram(kernel, op, xs, observables, points)
+        return jnp.matmul(ct, w, precision=_HI)
+
+    y = jax.lax.map(f, Xp.reshape(-1, chunk, X_test.shape[1]))
+    return y.reshape(m_pad)[:m]
 
 
 class Posterior:
@@ -92,9 +120,13 @@ class Posterior:
         b = p.block(block) if block is not None else p.blocks[0]
         if op is None:
             op = identity(b.kernel.dim)
+        X_test = jnp.asarray(X_test)
+        chunk = _serving_chunk(
+            int(X_test.shape[0]), int(self._weights[b.name].shape[0])
+        )
         return _extend_jit(
-            b.kernel, op, jnp.asarray(X_test), b.observables, p.points,
-            self._weights[b.name],
+            b.kernel, op, X_test, b.observables, p.points,
+            self._weights[b.name], chunk,
         )
 
     def variance(

@@ -573,3 +573,43 @@ def test_eval_cache_key_unhashable_global_falls_back():
     mod.ARR = jnp.asarray(np.asarray([1.0, 2.0]))
     X = jnp.asarray(np.asarray([[1.0, 1.0], [2.0, 0.0]]))
     np.testing.assert_allclose(np.asarray(_eval_on(mod.f, X)), [3.0, 2.0])
+
+
+def test_posterior_extend_chunked_matches_unchunked():
+    """Serving-scale chunked extension (lax.map over test-point chunks) must
+    be exactly equivalent to the one-shot panel."""
+    from nonlinpdes_gpsolver_tpu.solvers.posterior import (
+        _extend_jit, _serving_chunk,
+    )
+    from nonlinpdes_gpsolver_tpu.ops.operators import identity as id_op
+
+    def u_truth(x):
+        return jnp.sin(jnp.pi * x[0]) * jnp.sin(jnp.pi * x[1])
+
+    def rhs_f(x):
+        return -jnp.trace(jax.hessian(u_truth)(x)) + u_truth(x) ** 3
+
+    Xd, Xb = sample_random(jax.random.PRNGKey(0), 60, 20)
+    k = SquaredExponential.gaussian(0.3)
+    prob = gpt.models.nonlinear_elliptic(k, Xd, Xb, rhs_f, u_truth, seed=1)
+    fp = factorize(prob, nugget=1e-10, solve_mode="trsm")
+    st = gn_solve(fp, max_iter=3)
+    post = Posterior(fp, st.z)
+    Xt = gpt.utils.test_grid(11, 11)  # 121 rows, not a multiple of the chunk
+    b = prob.blocks[0]
+    w = post.weights("u")
+    base = np.asarray(
+        _extend_jit(b.kernel, id_op(2), Xt, b.observables, prob.points, w, None)
+    )
+    for chunk in (7, 32, 121, 4096):
+        got = np.asarray(
+            _extend_jit(
+                b.kernel, id_op(2), Xt, b.observables, prob.points, w, chunk
+            )
+        )
+        np.testing.assert_allclose(got, base, rtol=0, atol=1e-13)
+    # the budget rule: panels under budget are unchunked, over are bounded
+    # at ~budget elements (with a 128-row floor for huge n)
+    assert _serving_chunk(100, 1000) is None
+    assert _serving_chunk(10**6, 10**5) == (1 << 26) // 10**5
+    assert _serving_chunk(10**6, 10**6) == 128  # floor engages
