@@ -49,6 +49,14 @@ class SolveResult:
         return np.asarray(self.state.losses)
 
 
+# Measured single-chip crossover (PERF.md "Dense single-chip path" vs the
+# mesh table): at Gram n ~ 21.5k (N=10k elliptic) the fused streaming mesh
+# path factors in 1.33 s vs the dense path's 1.78 s and its GN is faster
+# too; below a few thousand rows the mesh path's fixed overheads dominate.
+# Auto-selection flips to the fused path above this many Gram rows.
+_AUTO_MESH_GRAM_ROWS = 16384
+
+
 class GPSolver:
     """Factorizes once, then supports repeated solves / posterior queries.
 
@@ -57,6 +65,14 @@ class GPSolver:
     end-to-end: tile-streamed sharded assembly, guarded distributed panel
     Cholesky, column-sharded/matrix-free Gauss-Newton, distributed
     posterior. A 1-device mesh is valid (same code path, single chip).
+
+    ``auto_mesh`` (default on): with no explicit ``mesh``, problems whose
+    largest Gram block exceeds the measured dense-vs-fused crossover
+    (~16k rows) are routed to the fused streaming mesh path over all local
+    accelerator devices automatically - at those sizes the dense path is
+    strictly slower AND memory-bound (it materializes the full Gram matrix
+    plus an explicit whitening operator). Pass ``auto_mesh=False`` to force
+    the dense path.
     """
 
     def __init__(
@@ -69,8 +85,30 @@ class GPSolver:
         mesh_block: int = 512,
         defer_quality: Optional[bool] = None,
         solve_mode: str = "auto",
+        auto_mesh: bool = True,
     ):
         self.problem = problem
+        if mesh is None and auto_mesh:
+            from .ops.backend import is_accelerator
+
+            n_max = max(
+                sum(
+                    int(problem.points[o.points].shape[0])
+                    for o in b.observables
+                )
+                for b in problem.blocks
+            )
+            if is_accelerator() and n_max >= _AUTO_MESH_GRAM_ROWS:
+                import jax
+
+                from .parallel.mesh import make_mesh
+
+                mesh = make_mesh(len(jax.devices()))
+                log.info(
+                    "auto_mesh: largest Gram block has %d rows (>= %d); "
+                    "using the fused streaming mesh path on %d device(s)",
+                    n_max, _AUTO_MESH_GRAM_ROWS, len(mesh.devices.ravel()),
+                )
         self.mesh = mesh
         self.timers = PhaseTimers()
         self._mesh_block = mesh_block

@@ -174,14 +174,30 @@ class solver_GP:
                 "(matches the reference)"
             )
         self._prob = self._build_problem(method, pen_lambda)
+        # cfg.mesh opens the memory-bounded distributed path to reference-
+        # style drivers (the capability the rebuild exists for - the
+        # reference itself is capped at ~10k points): an int is a local
+        # device count (0/None = dense), anything else is taken as a
+        # ready-made jax.sharding.Mesh.
+        mesh = getattr(cfg, "mesh", None)
+        if isinstance(mesh, (int, np.integer)):
+            if mesh:
+                from .parallel.mesh import make_mesh
+
+                mesh = make_mesh(int(mesh))
+            else:
+                mesh = None
         solver = GPSolver(
             self._prob,
             nugget=float(getattr(cfg, "nugget", 1e-10)),
             nugget_type=getattr(cfg, "nugget_type", "adaptive"),
+            mesh=mesh,
+            mesh_block=int(getattr(cfg, "mesh_block", 512)),
         )
         self._result = solver.solve(
             max_iter=int(getattr(cfg, "GNsteps", 8)),
             step_size=float(getattr(cfg, "step_size", 1.0)),
+            tol=getattr(cfg, "tol", None),
         )
         self.loss_hist = list(self._result.losses)
         if getattr(cfg, "print_hist", True):
