@@ -27,6 +27,13 @@ def main():
     )
     add_config_args(parser, defaults)
     parser.add_argument("--eps", type=float, default=0.1)
+    parser.add_argument("--mesh", type=int, default=0,
+                        help="run the memory-bounded distributed path on an "
+                             "N-device mesh (1 = same path, single chip)")
+    parser.add_argument("--mesh_block", type=int, default=512)
+    parser.add_argument("--step_solver", type=str, default="auto")
+    parser.add_argument("--tol", type=float, default=None,
+                        help="loss-plateau stopping tolerance (GNsteps caps)")
     args = parser.parse_args()
     cfg = config_from_args(args)
     apply_runtime(cfg)
@@ -48,8 +55,15 @@ def main():
         kernel, Xd, Xb, rhs_f=lambda x: 1.0, eps=args.eps,
         init=cfg.initial, seed=cfg.seed,
     )
-    solver = gpt.GPSolver(prob, nugget=cfg.nugget, nugget_type=cfg.nugget_type)
-    res = solver.solve(max_iter=cfg.GNsteps, step_size=cfg.step_size)
+    mesh = None
+    if args.mesh:
+        from nonlinpdes_gpsolver_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.mesh)
+    solver = gpt.GPSolver(prob, nugget=cfg.nugget, nugget_type=cfg.nugget_type,
+                          mesh=mesh, mesh_block=args.mesh_block)
+    res = solver.solve(max_iter=cfg.GNsteps, step_size=cfg.step_size,
+                       step_solver=args.step_solver, tol=args.tol)
     print(f"[GN] losses: {res.losses}")
 
     # truth on the interior FD grid (reference uses 58x58 interior points)

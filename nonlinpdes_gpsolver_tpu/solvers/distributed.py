@@ -120,6 +120,7 @@ def factorize_distributed(
     fused: bool = True,
     start_scales: Dict[str, float] | None = None,
     defer_quality: bool = False,
+    superblock_cols: int = 4096,
 ) -> DistributedFactoredProblem:
     """Assemble + factor every block on the mesh, with the failure ladder.
 
@@ -188,7 +189,7 @@ def factorize_distributed(
                     b.kernel, b.observables, problem.points, mesh,
                     axis=axis, block=block, nugget=nugget,
                     nugget_type=nugget_type, nugget_scale=s,
-                    chunk_cols=chunk_cols,
+                    chunk_cols=chunk_cols, superblock_cols=superblock_cols,
                 )
                 if not guard:
                     # dryrun/fully-jitted contexts: no sync, no probe; the

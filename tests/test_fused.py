@@ -1,5 +1,5 @@
 """Fused streaming assemble+factorize (``parallel/fused.py``): equivalence
-with the two-pass path, multi-chunk update coverage, sampled-row probe
+with the two-pass path, superblock/chunk coverage, sampled-row probe
 sensitivity, and end-to-end solver integration."""
 
 import jax
@@ -20,8 +20,8 @@ from nonlinpdes_gpsolver_tpu.parallel.cholesky import (
     unshard_rows_blockcyclic,
 )
 from nonlinpdes_gpsolver_tpu.parallel.fused import (
-    _chunk_blocks,
-    _col_signatures,
+    _seg_ranges,
+    _superblocks,
     assemble_factor_fused,
     sampled_row_quality,
 )
@@ -44,8 +44,8 @@ def _elliptic_setup(n_dom=70, n_bd=22, f32=False):
 
 
 def _burgers_setup():
-    """4 operators with uneven segment sizes - exercises column blocks that
-    straddle segment boundaries (multiple ``lax.switch`` signatures)."""
+    """4 operators with uneven segment sizes - exercises superblocks that
+    straddle segment boundaries."""
     rng = np.random.default_rng(1)
     Xd = jnp.asarray(rng.uniform(0, 1, (37, 2)))
     Xb = jnp.asarray(rng.uniform(0, 1, (13, 2)))
@@ -61,8 +61,16 @@ def _burgers_setup():
 
 
 @pytest.mark.parametrize("P_", [1, 4, 8])
-@pytest.mark.parametrize("block,chunk", [(8, 8), (8, 24), (16, 10**9)])
-def test_fused_matches_two_pass_elliptic(eight_devices, P_, block, chunk):
+@pytest.mark.parametrize(
+    "block,chunk,sup",
+    [(8, 8, 16), (8, 24, 32), (16, 10**9, 16), (16, 64, 10**9)],
+)
+def test_fused_matches_two_pass_elliptic(eight_devices, P_, block, chunk, sup):
+    """The superblock left-looking factor must whiten the same A~ the
+    two-pass right-looking path factors. The contraction orders differ
+    (superblock-wide GEMMs vs per-panel rank-B updates), so agreement is to
+    factorization accuracy, not bitwise; the sampled-row probe then checks
+    L L^T against independently re-assembled rows of A~ (ground truth)."""
     k, obs, pts, n = _elliptic_setup()
     mesh = make_mesh(P_)
     arranged, d1 = assemble_gram_sharded(
@@ -70,28 +78,25 @@ def test_fused_matches_two_pass_elliptic(eight_devices, P_, block, chunk):
     )
     lower, _ = _chol_sharded(arranged, mesh, "p", block, chunk)
     Lt = unshard_rows_blockcyclic(lower, mesh, "p", block, n)
-    fac, d2, s_dev, ok_dev = assemble_factor_fused(
-        k, obs, pts, mesh, block=block, nugget=1e-4, chunk_cols=chunk
+    fac, d2_, s_dev, ok_dev = assemble_factor_fused(
+        k, obs, pts, mesh, block=block, nugget=1e-4, chunk_cols=chunk,
+        superblock_cols=sup,
     )
     assert bool(ok_dev) and float(s_dev) == 1.0  # single in-kernel attempt
     Lf = np.asarray(fac.dense())
-    assert float(jnp.max(jnp.abs(d1 - d2))) == 0.0
+    assert float(jnp.max(jnp.abs(d1 - d2_))) == 0.0
     err = np.max(np.abs(Lf - np.asarray(Lt)))
-    if chunk == block:
-        # chunk width == one block-column: identical contraction order, so
-        # the fused left-looking factor is BIT-IDENTICAL to the two-pass one
-        assert err == 0.0
-    else:
-        # different summation order only; both factors must whiten A~
-        assert err < 1e-8  # f64 under the test harness
-    q = float(sampled_row_quality(fac, k, obs, pts, d2))
+    assert err < 1e-8  # f64 under the test harness
+    q = float(sampled_row_quality(fac, k, obs, pts, d2_))
     assert np.isfinite(q) and q < 1e-8
 
 
-@pytest.mark.parametrize("P_,block,chunk", [(1, 8, 16), (4, 8, 8), (8, 16, 16)])
-def test_fused_matches_two_pass_burgers_ops(eight_devices, P_, block, chunk):
-    """Anisotropic 4-operator layout: column signatures straddle segment
-    boundaries (37 is not a multiple of the block size)."""
+@pytest.mark.parametrize(
+    "P_,block,chunk,sup", [(1, 8, 16, 24), (4, 8, 8, 16), (8, 16, 16, 32)]
+)
+def test_fused_matches_two_pass_burgers_ops(eight_devices, P_, block, chunk, sup):
+    """Anisotropic 4-operator layout: superblock column windows straddle
+    segment boundaries (37 is not a multiple of the block size)."""
     k, obs, pts, n = _burgers_setup()
     mesh = make_mesh(P_)
     # the anisotropic derivative blocks are brutally conditioned: 1e-2 keeps
@@ -102,42 +107,46 @@ def test_fused_matches_two_pass_burgers_ops(eight_devices, P_, block, chunk):
     )
     lower, _ = _chol_sharded(arranged, mesh, "p", block, chunk)
     Lt = unshard_rows_blockcyclic(lower, mesh, "p", block, n)
-    fac, d2, s_dev, ok_dev = assemble_factor_fused(
-        k, obs, pts, mesh, block=block, nugget=1e-2, chunk_cols=chunk
+    fac, d2_, s_dev, ok_dev = assemble_factor_fused(
+        k, obs, pts, mesh, block=block, nugget=1e-2, chunk_cols=chunk,
+        superblock_cols=sup,
     )
     assert bool(ok_dev) and float(s_dev) == 1.0
     Lf = np.asarray(fac.dense())
     err = np.max(np.abs(Lf - np.asarray(Lt)))
     assert err < 1e-8
-    q = float(sampled_row_quality(fac, k, obs, pts, d2))
+    q = float(sampled_row_quality(fac, k, obs, pts, d2_))
     assert np.isfinite(q) and q < 1e-8
 
 
-def test_chunk_blocks_divides():
-    assert _chunk_blocks(12, 4096, 8) == 12
-    assert _chunk_blocks(12, 40, 8) == 4  # 5 -> 4 (divides 12)
-    assert _chunk_blocks(7, 24, 8) == 1
-    for nb in (5, 12, 108):
-        for chunk in (8, 100, 5000):
-            Wb = _chunk_blocks(nb, chunk, 8)
-            assert nb % Wb == 0 and Wb >= 1
+def test_superblock_partition():
+    assert _superblocks(12, 4) == [(0, 4), (4, 4), (8, 4)]
+    assert _superblocks(13, 4) == [(0, 4), (4, 4), (8, 4), (12, 1)]
+    assert _superblocks(5, 100) == [(0, 5)]
+    for nb in (1, 5, 12, 108):
+        for F in (1, 3, 8, 1000):
+            sbs = _superblocks(nb, F)
+            # exact tiling of [0, nb)
+            assert sbs[0][0] == 0 and sum(f for _, f in sbs) == nb
+            for (a, fa), (b, _) in zip(sbs, sbs[1:]):
+                assert a + fa == b
 
 
-def test_col_signatures_static_layout():
+def test_seg_ranges_cover_window():
     k, obs, pts, n = _elliptic_setup()
     segs = _segments(obs, pts)
-    B, nb = 16, 12  # n_pad = 192 > n = 162: padding tail present
-    table, sigs = _col_signatures(segs, nb, B, n)
-    assert table.shape == (nb,)
-    # every column of every block is covered exactly once
-    for kb in range(nb):
-        ranges = [(lo, hi) for _, lo, hi in sigs[table[kb]]]
-        ranges.sort()
-        assert ranges[0][0] == 0 and ranges[-1][1] == B
-        for (a, b), (c, e) in zip(ranges, ranges[1:]):
+    n_pad = 192  # > n = 162: padding tail present
+    for c0, c1 in [(0, 64), (64, 160), (128, 192), (160, 192), (0, 192)]:
+        ranges = _seg_ranges(segs, c0, c1, n)
+        spans = sorted((lo, hi) for _, lo, hi in ranges)
+        # every column of the window is covered exactly once
+        assert spans[0][0] == 0 and spans[-1][1] == c1 - c0
+        for (a, b), (c, e) in zip(spans, spans[1:]):
             assert b == c
-    # interior pure blocks share one signature; straddling blocks are rare
-    assert len(sigs) <= 2 * len(segs) + 1
+        # padding columns fall in an op=None range
+        for op, lo, hi in ranges:
+            if c0 + lo >= n:
+                assert op is None
 
 
 def test_sampled_row_probe_catches_corruption(eight_devices):
@@ -147,11 +156,11 @@ def test_sampled_row_probe_catches_corruption(eight_devices):
 
     k, obs, pts, n = _elliptic_setup()
     mesh = make_mesh(4)
-    fac, d2, _, _ = assemble_factor_fused(k, obs, pts, mesh, block=8, nugget=1e-4)
-    q_good = float(sampled_row_quality(fac, k, obs, pts, d2))
+    fac, d2_, _, _ = assemble_factor_fused(k, obs, pts, mesh, block=8, nugget=1e-4)
+    q_good = float(sampled_row_quality(fac, k, obs, pts, d2_))
     assert q_good < 1e-8
     bad = dataclasses.replace(fac, local=fac.local * 1.01)  # finite, wrong
-    q_bad = float(sampled_row_quality(bad, k, obs, pts, d2))
+    q_bad = float(sampled_row_quality(bad, k, obs, pts, d2_))
     assert q_bad > 1e-2
 
 
@@ -176,7 +185,9 @@ def test_factorize_distributed_fused_end_to_end(eight_devices):
     kern = SquaredExponential.gaussian(0.3)
     prob = models.nonlinear_elliptic(kern, Xd, Xb, rhs_f, u_truth, seed=1)
     mesh = make_mesh(8)
-    fp_f = factorize_distributed(prob, mesh, nugget=1e-8, block=8, fused=True)
+    fp_f = factorize_distributed(
+        prob, mesh, nugget=1e-8, block=8, fused=True, superblock_cols=32
+    )
     fp_t = factorize_distributed(prob, mesh, nugget=1e-8, block=8, fused=False)
     st_f = gn_solve_distributed(fp_f, max_iter=3, step_solver="direct")
     st_t = gn_solve_distributed(fp_t, max_iter=3, step_solver="direct")
