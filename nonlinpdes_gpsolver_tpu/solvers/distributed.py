@@ -54,6 +54,7 @@ from ..parallel.cholesky import (
     _chol_sharded,
     _trsm_kernel,
     _trsm_t_kernel,
+    _trsm_t_kernel_cols,
     kernel_solve_blockcyclic,
     matvec_blockcyclic,
     trsm_blockcyclic,
@@ -382,6 +383,49 @@ def _panel_kernel(
     return Hcol, g_local
 
 
+def _kernel_inverse_int(
+    localL, winvs, d_pad, meta, live_offs, N, P_, axis,
+):
+    """Replicated interior block of the regularized kernel inverse,
+    ``Theta_reg^{-1}[int, int]`` (sN x sN, s = len(live_offs)), computed by
+    column-sharded distributed kernel solves on identity columns.
+
+    This is what the ``'normal'`` Gauss-Newton step needs: for a validated
+    pointwise-slice problem the raw Jacobian has nonzero rows only on the
+    interior segments, so ``H = J_raw^T Theta_reg^{-1} J_raw`` touches only
+    this block - and assembling H from it is elementwise-scaled slice
+    contractions, no (n x m) panel TRSM (whose ``n^2 m`` cost is what rules
+    the panel solvers out at large latent dimension). Cost: two distributed
+    TRSMs on an ``(n, sN/P)`` RHS per device (``n^2 sN / P`` MACs) plus one
+    ``(sN)^2`` all_gather; memory: the replicated ``(sN)^2`` block.
+    """
+    n_b, n_pad, B, nb = meta
+    s = len(live_offs)
+    width = s * N
+    wloc = -(-width // P_)
+    w_pad = wloc * P_
+    p = lax.axis_index(axis)
+    my_cols = p * wloc + jnp.arange(wloc)
+    # column c (s-major: c = si*N + q) -> global row off_si + q; padding
+    # tail -> -1 (zero column, solves to zero)
+    offs = jnp.asarray(live_offs)
+    colrow = jnp.where(
+        my_cols < width, offs[jnp.clip(my_cols // N, 0, s - 1)] + my_cols % N,
+        -1,
+    )
+    rows = jnp.arange(n_pad)
+    E = (rows[:, None] == colrow[None, :]).astype(localL.dtype)
+    V = E * jnp.where(colrow >= 0, d_pad[jnp.clip(colrow, 0)], 0.0)[None, :]
+    Y = _trsm_kernel(localL, winvs, V, nb=nb, B=B, P_=P_, axis=axis)
+    Y = _trsm_t_kernel_cols(localL, winvs, Y, nb=nb, B=B, P_=P_, axis=axis)
+    Y = Y * d_pad[:, None]
+    Yl = jnp.concatenate(
+        [lax.dynamic_slice(Y, (off, 0), (N, wloc)) for off in live_offs]
+    )  # (sN, wloc) - my columns of the interior block
+    g = lax.all_gather(Yl, axis)  # (P, sN, wloc)
+    return g.transpose(1, 0, 2).reshape(width, w_pad)[:, :width]
+
+
 def _whiten_vec(localL, winvs, d_pad, r, meta, P_, axis):
     """In-region whitened residual ``L^{-1} D^{-1/2} r`` for one block."""
     n_b, n_pad, B, nb = meta
@@ -412,6 +456,7 @@ def _gn_scan_kernel(
     state is sharded.
     """
     m_pad = mloc * P_
+    hi = jax.lax.Precision.HIGHEST
 
     def whitened_residual(z):
         parts = [
@@ -461,10 +506,86 @@ def _gn_scan_kernel(
                 out = out + w * vjp(jvp(v))[0]
             return out
 
+        # Jacobi preconditioner from the exact (cheap: n_data VJPs) misfit
+        # Jacobian - see gn._misfit_jacobi_precond: heavily-weighted data
+        # misfits put ~1/noise^2 entries on scattered diagonal elements of
+        # J^T J and unpreconditioned CG pays ~sqrt(cond) iterations for it
+        # (measured: the mesh-path Darcy inverse ran away without this)
+        M = None
+        if mis:
+            d_pre = jnp.ones_like(z)
+            for w, F, jvp, vjp in mis:
+                basis = jnp.eye(F.shape[0], dtype=z.dtype)
+                Jm = jax.vmap(lambda e, _v=vjp: _v(e)[0])(basis)
+                d_pre = d_pre + w * jnp.sum(Jm * Jm, axis=0)
+            M = lambda v: v / d_pre
+
         delta, _ = jax.scipy.sparse.linalg.cg(
-            normal_op, g, tol=cg_tol, maxiter=cg_maxiter
+            normal_op, g, tol=cg_tol, maxiter=cg_maxiter, M=M
         )
         return delta
+
+    def make_normal_state():
+        """Per-block replicated interior kernel-inverse blocks - computed
+        ONCE (before the scan) per factorization."""
+        s_lat, N, seginfo = structure
+        ainvs = []
+        for (name, rfn), L, W, d, bm, segs in zip(
+            spec[0], localLs, winvs_t, d_pads, blocks_meta, seginfo
+        ):
+            live = tuple(off for off, sz in segs if sz == N)
+            A = _kernel_inverse_int(L, W, d, bm, live, N, P_, axis)
+            ainvs.append(A.reshape(len(live), N, len(live), N))
+        return tuple(ainvs)
+
+    def normal_delta(ainvs, z):
+        """Exact GN normal step from the interior kernel-inverse blocks
+        (the ``'normal'`` solver - see :func:`gn_solve_distributed`).
+
+        For validated pointwise-slice residuals the raw Jacobian is a stack
+        of per-slice diagonals, so ``H = J_raw^T Theta_reg^{-1} J_raw``
+        reduces to elementwise-scaled contractions of the precomputed
+        ``(s, N, s, N)`` inverse blocks - O(s_lat^2 s^2 N^2) work per step,
+        no panel TRSM. Misfit rows (few) contribute their exact ``w Jm^T
+        Jm`` via ``n_mis`` VJPs. This is the step solver for the
+        misfit-coupled inverse problems whose normal operator CG handles
+        poorly (measured: Darcy needs thousands of CG iterations even
+        Jacobi-preconditioned, vs ONE spd_solve here).
+        """
+        s_lat, N, seginfo = structure
+        H = jnp.zeros((m, m), z.dtype)
+        g = jnp.zeros_like(z)
+        for (name, rfn), L, W, d, bm, segs, A4 in zip(
+            spec[0], localLs, winvs_t, d_pads, blocks_meta, seginfo, ainvs
+        ):
+            f = lambda zz, _r=rfn: _r(zz, data)
+            F, vjp = jax.vjp(f, z)
+            g = g + vjp(_kernel_solve_vec(L, W, d, F, bm, P_, axis))[0]
+            D = jnp.stack(_block_diagonals(rfn, data, z, s_lat, N))
+            live = [off for off, sz in segs if sz == N]
+            Dl = jnp.stack(
+                [
+                    lax.dynamic_slice(D, (0, off), (s_lat, N))
+                    for off in live
+                ],
+                axis=1,
+            )  # (s_lat, s, N) raw per-slice interior diagonals
+            # one latent slice at a time bounds the contraction temporaries
+            # at O(s N^2) instead of O(s_lat s N^2)
+            rows = []
+            for j in range(s_lat):
+                Bj = jnp.einsum("rq,rqsp->qsp", Dl[j], A4, precision=hi)
+                Hj = jnp.einsum("qsp,ksp->qkp", Bj, Dl, precision=hi)
+                rows.append(Hj.reshape(N, m))
+            H = H + jnp.concatenate(rows, axis=0)
+        for rfn, w in spec[1]:
+            f = lambda zz, _r=rfn: _r(zz, data)
+            F, vjp = jax.vjp(f, z)
+            g = g + w * vjp(F)[0]
+            basis = jnp.eye(F.shape[0], dtype=z.dtype)
+            Jm = jax.vmap(lambda e, _v=vjp: _v(e)[0])(basis)
+            H = H + w * jnp.matmul(Jm.T, Jm, precision=hi)
+        return spd_solve(H, g, jitter=hessian_jitter)
 
     # the padded latent tail must not influence residuals: residual
     # functions see the unpadded z, so the extra basis columns push forward
@@ -494,9 +615,16 @@ def _gn_scan_kernel(
             H = H.at[pad_ids, pad_ids].add(1.0)
         return spd_solve(H, g, jitter=hessian_jitter)[:m]
 
+    ainvs = make_normal_state() if solver == "normal" else None
+
     def step(carry, _):
         z, ok = carry
-        delta = cg_delta(z) if solver == "cg" else direct_delta(z)
+        if solver == "cg":
+            delta = cg_delta(z)
+        elif solver == "normal":
+            delta = normal_delta(ainvs, z)
+        else:
+            delta = direct_delta(z)
         z_new = z - step_size * delta
         finite = jnp.all(jnp.isfinite(z_new))
         z_next = jnp.where(finite, z_new, z)
@@ -547,6 +675,21 @@ def _gn_scan_kernel(
 # --------------------------------------------------------------------------
 
 
+def _normal_state_bytes(fp: DistributedFactoredProblem, structure, dtype) -> int:
+    """Replicated per-device bytes the 'normal' step solver needs beyond the
+    factors: the interior kernel-inverse blocks (sum_b (s_b N)^2), the
+    normal matrix and its spd_solve working copy (2 m^2), and the slice-
+    contraction temporaries (~s_max N^2 + m N)."""
+    s_lat, N, seginfo = structure
+    itemsize = jnp.dtype(dtype).itemsize
+    m = fp.problem.latent_dim
+    total = 2 * m * m + m * N
+    for segs in seginfo:
+        s_b = sum(1 for _, sz in segs if sz == N)
+        total += (s_b * N) ** 2 + s_b * N * N
+    return total * itemsize
+
+
 def gn_solve_distributed(
     fp: DistributedFactoredProblem,
     z0: jnp.ndarray | None = None,
@@ -558,6 +701,7 @@ def gn_solve_distributed(
     cg_maxiter: int | None = None,
     direct_panel_limit: int = 4096,
     tol: float | None = None,
+    normal_budget_bytes: int = 10 << 30,
 ) -> GNState:
     """The full GN loop as one compiled ``lax.scan`` over distributed steps.
 
@@ -572,7 +716,14 @@ def gn_solve_distributed(
     instead of an m/P-wide basis sweep; requires validated pointwise-slice
     residuals), ``'direct'`` (column-sharded Jacobian panels + ring
     ``J^T J``; per-device memory ``n * m/P + m^2``), ``'cg'`` (matrix-free,
-    O(n) per device). ``'auto'`` picks by PER-DEVICE panel width
+    O(n) per device), ``'normal'`` (exact normal matrix from the replicated
+    interior kernel-inverse blocks, computed once per factorization by
+    column-sharded distributed kernel solves - the large-latent path for
+    misfit-coupled inverse problems, where the ``1/noise^2``-weighted rows
+    make the CG operator need thousands of iterations even with the exact-
+    misfit Jacobi preconditioner; requires validated pointwise-slice
+    residuals and ``_normal_state_bytes`` of replicated memory).
+    ``'auto'`` picks by PER-DEVICE panel width
     ``ceil(m/P)``: panel solvers when it is at most ``direct_panel_limit``
     (preferring ``'structured'`` when the structure validates), ``'cg'``
     otherwise - both the memory and the wall-clock of the panel TRSM scale
@@ -589,20 +740,34 @@ def gn_solve_distributed(
     P0 = fac0.mesh.shape[fac0.axis]
     mloc0 = -(-z.shape[0] // P0)
     structure = None
-    if step_solver in ("auto", "structured"):
+    if step_solver in ("auto", "structured", "normal"):
         cand = _slice_structure(fp.problem)
         valid = cand is not None and validate_slice_structure(
             fp.problem, cand, dtype
         )
-        if step_solver == "structured":
+        if step_solver in ("structured", "normal"):
             if not valid:
                 raise ValueError(
-                    "step_solver='structured' requires pointwise-per-slice "
-                    "residuals (structure validation failed for this problem)"
+                    f"step_solver={step_solver!r} requires pointwise-per-"
+                    "slice residuals (structure validation failed for this "
+                    "problem)"
                 )
             structure = cand
         elif mloc0 > direct_panel_limit:
-            step_solver = "cg"
+            # past the panel width cap: misfit-coupled problems get the
+            # exact 'normal' step when its replicated state fits (CG on a
+            # 1/noise^2-weighted normal operator needs thousands of
+            # iterations even preconditioned - measured on the Darcy
+            # inverse); plain collocation problems get matrix-free CG,
+            # whose whitened operator is benign.
+            if (
+                valid
+                and fp.problem.misfits
+                and _normal_state_bytes(fp, cand, dtype) <= normal_budget_bytes
+            ):
+                step_solver, structure = "normal", cand
+            else:
+                step_solver = "cg"
         elif valid:
             step_solver, structure = "structured", cand
         else:
@@ -612,6 +777,13 @@ def gn_solve_distributed(
         # f32 CG past ~1e-6 relative residual only burns iterations on
         # rounding noise (GN re-linearizes next step anyway)
         cg_tol = 1e-10 if jnp.finfo(dtype).eps < 1e-10 else 1e-6
+    if cg_maxiter is None:
+        # hang guard: jax cg's own default is 10*m iterations, which on a
+        # hard normal operator is a runaway device-side while_loop (a
+        # multi-minute executable killed one TPU worker here). 500 exact
+        # Jacobi-preconditioned iterations is far past convergence for any
+        # reasonable step; GN re-linearizes next step anyway.
+        cg_maxiter = 500
 
     p = fp.problem
     spec = (

@@ -499,6 +499,32 @@ def _structure_holds(fp: FactoredProblem, structure, probes: int = 2) -> bool:
     return validate_slice_structure(p, structure, dtype, probes)
 
 
+def _misfit_jacobi_precond(misfit_spec, data, z):
+    """Jacobi preconditioner for the matrix-free CG normal solve, or
+    ``None`` when the problem has no misfits.
+
+    Heavily-weighted data misfits (the Darcy inverse uses ``1/noise^2 ~
+    1e6``) put entries of that scale on scattered diagonal elements of
+    ``J^T J`` while the whitened GP blocks contribute O(1..1e2) - a
+    condition-number floor of ~1e4..1e6 that unpreconditioned CG pays
+    ~sqrt(cond) iterations for (measured: the mesh-path Darcy CG ran away
+    at its default iteration budget). The misfit rows are few (n_data), so
+    their exact Jacobian costs ``n_data`` VJPs and the exact misfit
+    contribution to ``diag(J^T J)`` is its squared column sums; the
+    equilibrated GP blocks are approximated by 1. Returns the CG ``M``
+    operator ``v -> v / diag``."""
+    if not misfit_spec:
+        return None
+    d = jnp.ones_like(z)
+    for residual, weight in misfit_spec:
+        f = lambda zz, _r=residual: _r(zz, data)
+        Fm, vjp = jax.vjp(f, z)
+        basis = jnp.eye(Fm.shape[0], dtype=z.dtype)
+        Jm = jax.vmap(lambda e: vjp(e)[0])(basis)  # (n_mis, m)
+        d = d + weight * jnp.sum(Jm * Jm, axis=0)
+    return lambda v: v / d
+
+
 def _whitened_residual_from(spec, arrays, z):
     """Rebuild the stacked whitened residual from the hashable structure
     ``spec`` and the array pytree ``arrays`` (see :func:`_gn_scan`)."""
@@ -612,8 +638,9 @@ def _gn_scan(
             return hv
 
         g = vjp(r)[0]
+        M = _misfit_jacobi_precond(spec[1], arrays["data"], z)
         delta, _ = jax.scipy.sparse.linalg.cg(
-            normal_op, g, tol=cg_tol, maxiter=cg_maxiter
+            normal_op, g, tol=cg_tol, maxiter=cg_maxiter, M=M
         )
         return delta
 
@@ -718,6 +745,8 @@ def gn_solve(
     z_init = fp.problem.init_latent() if z0 is None else jnp.asarray(z0)
     dtype = next(iter(fp.factors.values())).dtype
     z_init = z_init.astype(dtype)
+    if cg_maxiter is None:
+        cg_maxiter = 500  # hang guard; see gn_solve_distributed
 
     p = fp.problem
     structure = None
