@@ -82,7 +82,7 @@ from jax import lax
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.assembly import _pair_impl, cross_gram
+from ..ops.assembly import cross_gram
 from .cholesky import BlockCyclicFactor, _block_perm, pad_to_blocks
 from .gram import _segments
 
@@ -164,7 +164,17 @@ def _fused_chol_kernel(
         dr = d_isqrt_pad[row_global]
 
         # assemble my trailing rows of (equilibrated, regularized) columns
-        # [c0, c0+S) - the only kernel evaluations this superblock performs
+        # [c0, c0+S) - the only kernel evaluations this superblock performs.
+        # NOTE the tile evaluator here is the XLA closed form
+        # (kernel.pair_fn), NOT the Pallas tile kernel: inside THIS fused
+        # executable the Pallas call deterministically returns wrong values
+        # for some trailing-row tiles on the tunneled-TPU backend (measured
+        # on the Darcy a-block layout: d/d/id segments, 512-blocks - factor
+        # off by 1.5e-3 in [rows >= 4096] x [cols < 4096] while the SAME
+        # pallas_call is bit-correct standalone and inside the two-pass
+        # assembly executable; the round-1 finite-but-wrong fusion class,
+        # caught by the sampled-row probe). Assembly is a minor share of
+        # fused wall-clock, so the closed form costs ~nothing.
         pieces = []
         for cop, lo, hi_ in _seg_ranges(segs, c0, c0 + S, n):
             w = hi_ - lo
@@ -174,7 +184,7 @@ def _fused_chol_kernel(
             Xc_sub = lax.slice_in_dim(Xcols, c0 + lo, c0 + hi_, axis=0)
             piece = jnp.zeros((nsl * B, w), local.dtype)
             for rop in row_ops:
-                K = _pair_impl(kernel, rop, cop)(Xr, Xc_sub)
+                K = kernel.pair_fn(rop, cop)(Xr, Xc_sub)
                 piece = jnp.where(_row_mask(rop, row_global)[:, None], K, piece)
             pieces.append(piece)
         acc = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
