@@ -111,7 +111,8 @@ def _seg_ranges(segs, c0: int, c1: int, n: int):
 def _fused_chol_kernel(
     local, Xrow, Xcols, diag_const_pad, nug_share_pad, s0, *,
     kernel, segs, nb: int, B: int, P_: int, axis: str, n: int,
-    chunk_cols: int = 4096, superblock_cols: int = 4096, max_attempts: int = 8,
+    chunk_cols: int = 4096, superblock_cols: int = 4096,
+    assemble_rows: int = 8192, max_attempts: int = 8,
 ):
     """shard_map body: superblock left-looking fused assemble+factorize with
     in-executable nugget escalation (see module docstring).
@@ -173,25 +174,46 @@ def _fused_chol_kernel(
         # off by 1.5e-3 in [rows >= 4096] x [cols < 4096] while the SAME
         # pallas_call is bit-correct standalone and inside the two-pass
         # assembly executable; the round-1 finite-but-wrong fusion class,
-        # caught by the sampled-row probe). Assembly is a minor share of
-        # fused wall-clock, so the closed form costs ~nothing.
-        pieces = []
-        for cop, lo, hi_ in _seg_ranges(segs, c0, c0 + S, n):
-            w = hi_ - lo
-            if cop is None:
-                pieces.append(jnp.zeros((nsl * B, w), local.dtype))
-                continue
-            Xc_sub = lax.slice_in_dim(Xcols, c0 + lo, c0 + hi_, axis=0)
-            piece = jnp.zeros((nsl * B, w), local.dtype)
-            for rop in row_ops:
-                K = kernel.pair_fn(rop, cop)(Xr, Xc_sub)
-                piece = jnp.where(_row_mask(rop, row_global)[:, None], K, piece)
-            pieces.append(piece)
-        acc = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
+        # caught by the sampled-row probe). The closed form materializes a
+        # (rows, w, dim) broadcasted-difference temporary, so the window is
+        # assembled in bounded ROW chunks (``assemble_rows``) - unchunked,
+        # the temporaries alone exceeded HBM at N=26k. The last chunk's
+        # start is clamped; the overlap recomputes identical values.
+        h = nsl * B
+        Rch = min(h, max(B, (assemble_rows // B) * B))
+        nrc = -(-h // Rch)
+        ranges = _seg_ranges(segs, c0, c0 + S, n)
         dc = lax.slice_in_dim(d_isqrt_pad, c0, c0 + S, axis=0)
-        acc = acc * (dr[:, None] * dc[None, :])
-        on_diag = (c0 + jnp.arange(S))[None, :] == row_global[:, None]
-        Acol = jnp.where(on_diag, one, acc)  # (nsl*B, S)
+
+        def row_chunk(i, Acol):
+            r0 = jnp.minimum(i * Rch, h - Rch)
+            Xr_c = lax.dynamic_slice(Xr, (r0, 0), (Rch, dim))
+            rg_c = lax.dynamic_slice(row_global, (r0,), (Rch,))
+            dr_c = lax.dynamic_slice(dr, (r0,), (Rch,))
+            pieces = []
+            for cop, lo, hi_ in ranges:
+                w = hi_ - lo
+                if cop is None:
+                    pieces.append(jnp.zeros((Rch, w), local.dtype))
+                    continue
+                Xc_sub = lax.slice_in_dim(Xcols, c0 + lo, c0 + hi_, axis=0)
+                piece = jnp.zeros((Rch, w), local.dtype)
+                for rop in row_ops:
+                    K = kernel.pair_fn(rop, cop)(Xr_c, Xc_sub)
+                    piece = jnp.where(_row_mask(rop, rg_c)[:, None], K, piece)
+                pieces.append(piece)
+            acc = (
+                pieces[0] if len(pieces) == 1
+                else jnp.concatenate(pieces, axis=1)
+            )
+            acc = acc * (dr_c[:, None] * dc[None, :])
+            on_diag = (c0 + jnp.arange(S))[None, :] == rg_c[:, None]
+            acc = jnp.where(on_diag, one, acc)
+            return lax.dynamic_update_slice(Acol, acc, (r0, 0))
+
+        Acol = lax.fori_loop(
+            0, nrc, row_chunk, jnp.zeros((h, S), local.dtype)
+        )  # (nsl*B, S)
 
         # left-looking update: Acol -= L[trailing, :c0] @ L[sup rows, :c0]^T
         # in column chunks; chunks may overrun c0 (both operands read zeros
@@ -293,7 +315,8 @@ def _fused_chol_kernel(
 
 
 @partial(
-    jax.jit, static_argnums=(1, 2, 5, 6, 7, 8, 9, 10, 11), donate_argnums=(0,)
+    jax.jit, static_argnums=(1, 2, 5, 6, 7, 8, 9, 10, 11, 12),
+    donate_argnums=(0,)
 )
 def _fused_arranged(
     out,
@@ -308,6 +331,7 @@ def _fused_arranged(
     block: int,
     chunk_cols: int = 4096,
     superblock_cols: int = 4096,
+    assemble_rows: int = 8192,
 ):
     """One executable: equilibration constants + fused assemble/factorize
     with in-executable nugget escalation.
@@ -350,7 +374,7 @@ def _fused_arranged(
             _fused_chol_kernel,
             kernel=kernel, segs=segs_pts, nb=nb, B=block, P_=P_,
             axis=axis, n=n, chunk_cols=chunk_cols,
-            superblock_cols=superblock_cols,
+            superblock_cols=superblock_cols, assemble_rows=assemble_rows,
         ),
         mesh=mesh,
         in_specs=(
@@ -380,6 +404,7 @@ def assemble_factor_fused(
     nugget_scale=1.0,
     chunk_cols: int = 4096,
     superblock_cols: int = 4096,
+    assemble_rows: int = 8192,
 ):
     """Factor the (never-materialized) equilibrated regularized Gram matrix.
 
@@ -407,6 +432,7 @@ def assemble_factor_fused(
     local, winvs, d_isqrt, s, ok = _fused_arranged(
         out, kernel, observables, pts, jnp.asarray(nugget_scale),
         nugget_type, nugget, mesh, axis, block, chunk_cols, superblock_cols,
+        assemble_rows,
     )
     fac = BlockCyclicFactor(
         local=local, mesh=mesh, axis=axis, block=block,

@@ -15,20 +15,30 @@ collocation points by single-device dense storage,
    ladder as the single-device :func:`.gn.factorize`; round 1 proved on
    this backend that a factor can be *finite but corrupt*, so the guard
    probes ``L(L^T v) ~ Theta~ v`` against a pre-factorization matvec);
-3. Gauss-Newton steps come in two memory regimes:
+3. Gauss-Newton steps come in three regimes:
 
-   * ``'direct'`` - the Jacobian panel is built **column-sharded** (each
-     device pushes forward only its own ``m/P`` latent basis vectors),
-     whitened by the column-sharded distributed TRSM (per-device memory
-     ``n * m/P``), and the normal matrix ``J^T J`` is accumulated by a
-     ``ppermute`` ring over the panels - the full ``(n x m)`` whitened
-     Jacobian is never replicated (round-1 VERDICT weak items 1/3);
+   * ``'direct'``/``'structured'`` - the Jacobian panel is built
+     **column-sharded** (each device pushes forward only its own ``m/P``
+     latent basis vectors - or, structured, builds them from per-slice
+     residual diagonals), whitened by the column-sharded distributed TRSM
+     (per-device memory ``n * m/P``), and the normal matrix ``J^T J`` is
+     accumulated by a ``ppermute`` ring over the panels - the full
+     ``(n x m)`` whitened Jacobian is never replicated;
    * ``'cg'`` - fully matrix-free: conjugate gradients on
      ``v -> J_r^T D^{-1/2} Theta~^{-1} D^{-1/2} J_r v`` where each matvec is
      one JVP, one distributed forward+transpose triangular solve pair on a
      *vector*, and one VJP. Memory O(n) per device - this is the path past
      any panel's fit, generalizing the reference's explicit-Jacobian Burgers
-     pattern (``src/PDEs.py:295-307`` upstream) to arbitrary N.
+     pattern (``src/PDEs.py:295-307`` upstream) to arbitrary N. Data-misfit
+     terms get an exact Jacobi preconditioner from their (few) Jacobian
+     rows;
+   * ``'normal'`` - exact normal matrix for large-latent *misfit-coupled*
+     problems (the Darcy-inverse regime, where the weighted misfit rows
+     make the CG operator need thousands of iterations): the interior
+     block of the kernel inverse is computed ONCE per factorization by
+     column-sharded distributed kernel solves, and each step assembles
+     ``H = J_raw^T Theta^{-1} J_raw`` by elementwise-scaled slice
+     contractions - no per-step panel TRSM at all.
 
 The same code runs on a virtual CPU mesh for testing and on an ICI mesh on
 hardware; device count appears only in the ``Mesh``.

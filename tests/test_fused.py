@@ -231,3 +231,22 @@ def test_factorize_distributed_fused_escalates(eight_devices, fused=True):
         assert bool(jnp.all(jnp.isfinite(r)))
     finally:
         _jax.config.update("jax_enable_x64", True)
+
+
+def test_fused_multi_row_chunk_assembly(eight_devices):
+    """Small ``assemble_rows`` forces the clamped multi-chunk row assembly
+    (the HBM-bounding path at scale) - must match the one-chunk result
+    exactly (the clamped overlap recomputes identical values)."""
+    k, obs, pts, n = _elliptic_setup()
+    mesh = make_mesh(4)
+    base, d0_, s0_, ok0 = assemble_factor_fused(
+        k, obs, pts, mesh, block=8, nugget=1e-4, superblock_cols=32
+    )
+    chunked, d1_, s1_, ok1 = assemble_factor_fused(
+        k, obs, pts, mesh, block=8, nugget=1e-4, superblock_cols=32,
+        assemble_rows=16,
+    )
+    assert bool(ok0) and bool(ok1)
+    np.testing.assert_array_equal(
+        np.asarray(base.dense()), np.asarray(chunked.dense())
+    )
