@@ -41,10 +41,10 @@ def main():
              "(1 is valid: same code path, single chip)",
     )
     parser.add_argument("--mesh_block", type=int, default=512)
-    parser.add_argument("--superblock", type=int, default=4096)
+    parser.add_argument("--superblock", type=int, default=2048)
     parser.add_argument(
         "--step_solver", type=str, default="auto",
-        choices=["auto", "direct", "cg", "structured"],
+        choices=["auto", "direct", "cg", "structured", "normal"],
     )
     parser.add_argument("--test_grid", type=int, default=60)
     parser.add_argument("--N_data", type=int, default=60)

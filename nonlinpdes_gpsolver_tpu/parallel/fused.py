@@ -111,7 +111,7 @@ def _seg_ranges(segs, c0: int, c1: int, n: int):
 def _fused_chol_kernel(
     local, Xrow, Xcols, diag_const_pad, nug_share_pad, s0, *,
     kernel, segs, nb: int, B: int, P_: int, axis: str, n: int,
-    chunk_cols: int = 4096, superblock_cols: int = 4096,
+    chunk_cols: int = 4096, superblock_cols: int = 2048,
     assemble_rows: int = 8192, max_attempts: int = 8,
 ):
     """shard_map body: superblock left-looking fused assemble+factorize with
@@ -330,7 +330,7 @@ def _fused_arranged(
     axis: str,
     block: int,
     chunk_cols: int = 4096,
-    superblock_cols: int = 4096,
+    superblock_cols: int = 2048,
     assemble_rows: int = 8192,
 ):
     """One executable: equilibration constants + fused assemble/factorize
@@ -403,7 +403,7 @@ def assemble_factor_fused(
     nugget_type: str = "adaptive",
     nugget_scale=1.0,
     chunk_cols: int = 4096,
-    superblock_cols: int = 4096,
+    superblock_cols: int = 2048,
     assemble_rows: int = 8192,
 ):
     """Factor the (never-materialized) equilibrated regularized Gram matrix.
@@ -416,8 +416,10 @@ def assemble_factor_fused(
     starting from ``nugget_scale``, and whether the factor is finite (fetch
     them together with other results - no sync here). ``superblock_cols``
     sets the column-panel width ``S`` (the MXU-efficiency / replicated
-    ``S x S``-diagonal-work tradeoff; 4096 measured best on a v5e at
-    n >= 20k)."""
+    ``S x S``-diagonal-work tradeoff; 2048 measured best on a v5e at
+    n >= 20k - 36%% faster than 4096; 8192 produced a CORRUPT factor on
+    this backend, caught by the quality ladder, and is not a useful
+    setting)."""
     pts = {k: jnp.asarray(v) for k, v in points.items()}
     observables = tuple(observables)
     n = sum(int(pts[o.points].shape[0]) for o in observables)

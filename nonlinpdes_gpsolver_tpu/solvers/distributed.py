@@ -131,7 +131,7 @@ def factorize_distributed(
     fused: bool = True,
     start_scales: Dict[str, float] | None = None,
     defer_quality: bool = False,
-    superblock_cols: int = 4096,
+    superblock_cols: int = 2048,
 ) -> DistributedFactoredProblem:
     """Assemble + factor every block on the mesh, with the failure ladder.
 
@@ -764,15 +764,23 @@ def gn_solve_distributed(
                 )
             structure = cand
         elif mloc0 > direct_panel_limit:
-            # past the panel width cap: misfit-coupled problems get the
-            # exact 'normal' step when its replicated state fits (CG on a
-            # 1/noise^2-weighted normal operator needs thousands of
-            # iterations even preconditioned - measured on the Darcy
-            # inverse); plain collocation problems get matrix-free CG,
-            # whose whitened operator is benign.
+            # past the panel width cap: the exact 'normal' step (when its
+            # replicated state fits) for the two problem classes where the
+            # matrix-free CG step is measured-bad - misfit coupling (the
+            # 1/noise^2-weighted Darcy rows need thousands of CG iterations
+            # even Jacobi-preconditioned) and anisotropic kernels (the
+            # Burgers whitened operator stalls CG at the iteration cap:
+            # losses 26.6 vs 8.8 for exact steps at 6 GN iterations,
+            # measured). Isotropic plain collocation (elliptic, eikonal)
+            # keeps matrix-free CG: its whitened operator converges in tens
+            # of iterations and the 'normal' kernel-inverse precompute
+            # (n^2 sN flops) would dominate.
+            aniso = any(
+                len(set(b.kernel.inv_sq)) > 1 for b in fp.problem.blocks
+            )
             if (
                 valid
-                and fp.problem.misfits
+                and (fp.problem.misfits or aniso)
                 and _normal_state_bytes(fp, cand, dtype) <= normal_budget_bytes
             ):
                 step_solver, structure = "normal", cand
