@@ -46,6 +46,8 @@ def main():
         "--step_solver", type=str, default="auto",
         choices=["auto", "direct", "cg", "structured", "normal"],
     )
+    parser.add_argument("--tol", type=float, default=None,
+                        help="loss-plateau stopping tolerance (gn_steps caps)")
     parser.add_argument("--test_grid", type=int, default=60)
     parser.add_argument("--N_data", type=int, default=60)
     parser.add_argument("--noise_level", type=float, default=1e-3)
@@ -203,6 +205,7 @@ def main():
                 t1 = time.perf_counter()
                 st = gn_solve_distributed(
                     fp, max_iter=args.gn_steps, step_solver=args.step_solver,
+                    tol=args.tol,
                 )
                 # NOTE a real value fetch is the only reliable completion
                 # barrier on this backend (block_until_ready can return
@@ -219,7 +222,8 @@ def main():
                 fp = factorize(prob, nugget=args.nugget)
                 t1 = time.perf_counter()
                 st = gn_solve(
-                    fp, max_iter=args.gn_steps, step_solver=args.step_solver
+                    fp, max_iter=args.gn_steps, step_solver=args.step_solver,
+                    tol=args.tol,
                 )
                 jax.device_get(st.z)  # real fetch = reliable barrier
                 t2 = time.perf_counter()
