@@ -974,30 +974,59 @@ def _dist_extend(kernel, op, X_test, observables, points, w, mesh, axis, chunk):
 @partial(jax.jit, static_argnums=(0, 1, 2, 8, 9, 10, 11, 12))
 def _dist_variance(
     kernel, op, observables, points, localL, winvs, scale, X_test,
-    n: int = 0, block: int = 0, mesh=None, axis: str = "p", m_pad: int = 0,
+    n: int = 0, block: int = 0, mesh=None, axis: str = "p", chunk=None,
 ):
     """Fused posterior-variance executable (see
-    :meth:`DistributedPosterior.variance`)."""
-    from jax.sharding import NamedSharding
-
+    :meth:`DistributedPosterior.variance`): test points are sharded over
+    the mesh INSIDE shard_map - each device assembles only its own
+    ``(m/P, n)`` cross-Gram strip, ``lax.map``-chunked to ``chunk`` test
+    points, and whitens it with the (layout-agnostic) forward panel TRSM.
+    Per-device memory is ``min(chunk, m/P) * n`` regardless of the total
+    test count (the previous version built the full (m, n) panel before a
+    sharding constraint, leaving the replication decision to GSPMD)."""
     from ..ops.assembly import cross_gram
-    from ..parallel.cholesky import _trsm_sharded
+    from ..parallel.cholesky import _trsm_kernel
 
-    ct = cross_gram(kernel, op, X_test, observables, points)  # (m, n)
     pair = kernel.pair_fn(op, op)
-    prior = jax.vmap(lambda x: pair(x[None], x[None])[0, 0])(X_test)
-    V = ct.T
-    if scale is not None:
-        V = V * scale[:, None]
-    n_pad = localL.shape[0] * block
-    m = V.shape[1]
-    V = jnp.pad(V, ((0, n_pad - n), (0, m_pad - m)))
-    V = jax.lax.with_sharding_constraint(
-        V, NamedSharding(mesh, P(None, axis))
+    m = X_test.shape[0]
+    P_ = mesh.shape[axis]
+    mloc = -(-m // P_)
+    m_pad = mloc * P_
+    Xp = jnp.pad(X_test, ((0, m_pad - m), (0, 0)), mode="edge")
+    nb = localL.shape[0]
+    n_pad = nb * block
+    data_specs = jax.tree.map(lambda _: P(None), points)
+
+    def kern(Xl, L, W, sc, pts):
+        def one(xs):
+            ct = cross_gram(kernel, op, xs, observables, pts)  # (c, n)
+            V = jnp.pad(ct.T * sc[:, None], ((0, n_pad - n), (0, 0)))
+            Y = _trsm_kernel(L, W, V, nb=nb, B=block, P_=P_, axis=axis)
+            return jnp.sum(Y[:n] * Y[:n], axis=0)
+
+        rows = Xl.shape[0]
+        if chunk is None or rows <= chunk:
+            q = one(Xl)
+        else:
+            rp = -(-rows // chunk) * chunk
+            Xc = jnp.pad(Xl, ((0, rp - rows), (0, 0)), mode="edge")
+            q = lax.map(
+                one, Xc.reshape(-1, chunk, Xl.shape[1])
+            ).reshape(rp)[:rows]
+        prior = jax.vmap(lambda x: pair(x[None], x[None])[0, 0])(Xl)
+        return jnp.clip(prior - q, 0.0)
+
+    fn = shard_map(
+        kern,
+        mesh=mesh,
+        in_specs=(
+            P(axis, None), P(axis, None, None), P(None, None, None),
+            P(None), data_specs,
+        ),
+        out_specs=P(axis),
+        check_vma=False,
     )
-    Y = _trsm_sharded(localL, winvs, V, mesh, axis, block, False, True)
-    q = jnp.sum(Y[:n] * Y[:n], axis=0)[:m]
-    return jnp.clip(prior - q, 0.0)
+    return fn(Xp, localL, winvs, scale, points)[:m]
 
 
 class DistributedPosterior:
@@ -1067,13 +1096,18 @@ class DistributedPosterior:
             from ..parallel.cholesky import diag_inverses
 
             fac.diag_inv = diag_inverses(fac.local, fac.mesh, fac.axis, fac.block)
+        from .posterior import _serving_chunk
+
         X_test = jnp.asarray(X_test)
         P_ = fac.mesh.shape[fac.axis]
-        m_pad = ((X_test.shape[0] + P_ - 1) // P_) * P_
+        mloc = -(-int(X_test.shape[0]) // P_)
+        chunk = _serving_chunk(mloc, fac.n)
+        scale = self.fp.col_scales.get(b.name)
+        if scale is None:
+            scale = jnp.ones(fac.n, fac.local.dtype)
         return _dist_variance(
             b.kernel, op, b.observables, p.points, fac.local, fac.diag_inv,
-            self.fp.col_scales.get(b.name), X_test,
-            fac.n, fac.block, fac.mesh, fac.axis, m_pad,
+            scale, X_test, fac.n, fac.block, fac.mesh, fac.axis, chunk,
         )
 
     def std(self, X_test, block: str | None = None, op=None) -> jnp.ndarray:

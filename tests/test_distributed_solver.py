@@ -524,3 +524,50 @@ def test_distributed_cg_misfit_jacobi_preconditioner(eight_devices):
     losses = np.asarray(st_cg.losses)
     assert np.all(np.isfinite(losses))
     assert losses[-1] < losses[0] / 10  # real progress within the cap
+
+
+def test_dist_variance_chunked_matches_and_memory(eight_devices):
+    """Sharded+chunked posterior variance: exact agreement across chunk
+    regimes, and compiled per-device memory far below the full (m, n)
+    panel (the serving-scale contract, mirror of the extend test)."""
+    from nonlinpdes_gpsolver_tpu.ops.operators import identity as id_op
+    from nonlinpdes_gpsolver_tpu.solvers.distributed import (
+        DistributedPosterior, _dist_variance,
+    )
+
+    prob, _ = _elliptic_problem(N=150, Nb=40)
+    mesh = make_mesh(8)
+    dfp = factorize_distributed(prob, mesh, nugget=1e-10, block=16)
+    dstate = gn_solve_distributed(dfp, max_iter=2)
+    dpost = DistributedPosterior(dfp, dstate.z)
+    b = prob.blocks[0]
+    fac = dfp.factors["u"]
+    scale = dfp.col_scales["u"]
+    Xt = gpt.utils.test_grid(13, 13)  # 169: not a multiple of 8
+    base = np.asarray(dpost.variance(Xt))
+    assert (base >= 0).all()
+    for chunk in (5, 64, None):
+        got = np.asarray(
+            _dist_variance(
+                b.kernel, id_op(2), tuple(b.observables), prob.points,
+                fac.local, fac.diag_inv, scale, Xt,
+                fac.n, fac.block, fac.mesh, fac.axis, chunk,
+            )
+        )
+        np.testing.assert_allclose(got, base, rtol=0, atol=1e-12)
+    # compiled memory: chunked strip only
+    n = fac.n
+    Xbig = gpt.utils.test_grid(40, 40)
+    chunk = 16
+    compiled = _dist_variance.lower(
+        b.kernel, id_op(2), tuple(b.observables), prob.points,
+        fac.local, fac.diag_inv, scale, Xbig,
+        fac.n, fac.block, fac.mesh, fac.axis, chunk,
+    ).compile()
+    stats = compiled.memory_analysis()
+    itemsize = 8
+    full_panel = Xbig.shape[0] * n * itemsize
+    per_device = stats.output_size_in_bytes + stats.temp_size_in_bytes
+    assert per_device < max(8 * chunk * fac.n_pad * itemsize, full_panel // 4), (
+        per_device, full_panel,
+    )
