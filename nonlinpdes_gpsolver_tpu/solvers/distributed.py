@@ -776,7 +776,8 @@ def gn_solve_distributed(
             # of iterations and the 'normal' kernel-inverse precompute
             # (n^2 sN flops) would dominate.
             aniso = any(
-                len(set(b.kernel.inv_sq)) > 1 for b in fp.problem.blocks
+                len(set(getattr(b.kernel, "inv_sq", (1.0,)))) > 1
+                for b in fp.problem.blocks
             )
             if (
                 valid
