@@ -36,6 +36,8 @@ def main():
                              "N-device mesh (1 = same path, single chip)")
     parser.add_argument("--mesh_block", type=int, default=512)
     parser.add_argument("--step_solver", type=str, default="auto")
+    parser.add_argument("--tol", type=float, default=None,
+                        help="loss-plateau stopping tolerance (GNsteps caps)")
     args = parser.parse_args()
     cfg = config_from_args(args)
     apply_runtime(cfg)
@@ -79,7 +81,7 @@ def main():
     solver = gpt.GPSolver(prob, nugget=cfg.nugget, nugget_type=cfg.nugget_type,
                           mesh=mesh, mesh_block=args.mesh_block)
     res = solver.solve(max_iter=cfg.GNsteps, step_size=cfg.step_size,
-                       step_solver=args.step_solver)
+                       step_solver=args.step_solver, tol=args.tol)
     print(f"[GN] losses: {res.losses}")
 
     X1, X2 = np.meshgrid(xs, ys)

@@ -271,6 +271,59 @@ def _cholesky_rec(A: jnp.ndarray, leaf: int) -> jnp.ndarray:
     return jnp.concatenate([top, bot], axis=0)
 
 
+def _chol_inv_rec(A: jnp.ndarray, leaf: int):
+    """Simultaneous ``(L, W = L^{-1})`` by one divide-and-conquer pass.
+
+    The separated pipeline (factor, then invert, then Newton-refine) walks
+    the matrix three times at ~n^3 total MACs, and - worse for TPU wall
+    clock - its TRSM recursions bottom out in row-sequential substitution
+    leaves whose tiny GEMVs leave the MXU idle (measured: the recursive
+    factorization sustains only ~2 TF/s on a v5e, the bottleneck of the
+    ``'normal'`` Gauss-Newton step at large latent dimension). Here the
+    panel solve IS a GEMM against the already-inverted diagonal block
+    (``L21 = A21 W11^T``) and the inverse assembles by the block formula
+    ``W21 = -W22 (L21 W11)`` - every O(n^3) operation is a large
+    ``Precision.HIGHEST`` matmul; substitution survives only inside the
+    ``leaf x leaf`` diagonal leaves, whose inverses are Newton-refined once
+    (the block-assembly formula is exact algebra, so leaf accuracy is what
+    the composed inverse inherits, amplified only by GEMM rounding). Total
+    cost 2 n^3/3 MACs (n^3/3 factor + n^3/3 inverse)."""
+    n = A.shape[0]
+    if n <= leaf:
+        L = unblocked_cholesky(A)
+        eye = jnp.eye(n, dtype=A.dtype)
+        W = unblocked_trsm_lower(L, eye)
+        E = eye - jnp.matmul(W, L, precision=_HI)
+        return L, W + jnp.matmul(E, W, precision=_HI)
+    h = _split(n, leaf)
+    L11, W11 = _chol_inv_rec(A[:h, :h], leaf)
+    L21 = jnp.matmul(A[h:, :h], W11.T, precision=_HI)
+    S = A[h:, h:] - jnp.matmul(L21, L21.T, precision=_HI)
+    L22, W22 = _chol_inv_rec(S, leaf)
+    W21 = -jnp.matmul(
+        W22, jnp.matmul(L21, W11, precision=_HI), precision=_HI
+    )
+    zero = jnp.zeros((h, n - h), dtype=A.dtype)
+    L = jnp.concatenate(
+        [jnp.concatenate([L11, zero], axis=1),
+         jnp.concatenate([L21, L22], axis=1)], axis=0
+    )
+    W = jnp.concatenate(
+        [jnp.concatenate([W11, zero], axis=1),
+         jnp.concatenate([W21, W22], axis=1)], axis=0
+    )
+    return L, W
+
+
+@partial(jax.jit, static_argnums=(1,))
+def cholesky_inverse(M: jnp.ndarray, leaf: int = 256):
+    """``(L, L^{-1})`` of an SPD matrix, all-GEMM (see :func:`_chol_inv_rec`).
+    Same padding contract as :func:`recursive_cholesky`."""
+    M, n = _pad_spd(M, leaf)
+    L, W = _chol_inv_rec(M, leaf)
+    return L[:n, :n], W[:n, :n]
+
+
 def _tri_inverse_rec(L: jnp.ndarray, leaf: int) -> jnp.ndarray:
     """``L^{-1}`` via  inv([[L11,0],[L21,L22]]) = [[M11,0],[-M22 L21 M11, M22]]."""
     n = L.shape[0]
@@ -450,21 +503,28 @@ def spd_solve(H: jnp.ndarray, g: jnp.ndarray, jitter: float = 0.0) -> jnp.ndarra
 
 
 def spd_solve_controlled(H: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
-    """Equilibrated recursive-Cholesky SPD solve with HIGHEST-precision dots
-    (the accelerator branch of :func:`spd_solve`; separable for testing).
+    """Equilibrated all-GEMM SPD solve with HIGHEST-precision dots (the
+    accelerator branch of :func:`spd_solve`; separable for testing).
 
     A Tikhonov floor of ``32 eps`` is added to the *unit* diagonal of the
     equilibrated matrix: the Gauss-Newton normal matrix has cond(J)^2, which
     at large N sits past f32's representable conditioning - without the
     floor the factorization NaNs and every GN step gets rejected (measured
     at N=10k). Relative bias on a well-conditioned system is O(32 eps),
-    orders below the solve's own rounding."""
+    orders below the solve's own rounding.
+
+    The factorization is :func:`cholesky_inverse` (round-5: the previous
+    recursive_cholesky + recursive_trsm pipeline bottomed out in
+    row-sequential substitution leaves and sustained ~2 TF/s on a v5e -
+    94% of the Darcy-inverse GN time; the all-GEMM form runs the same
+    n^3-class work on the MXU), after which the solve is two matvecs
+    ``x = D^{-1/2} W^T (W (D^{-1/2} g))``."""
     n = H.shape[0]
     d = jnp.diagonal(H)
     d_isqrt = jax.lax.rsqrt(jnp.maximum(d, jnp.finfo(H.dtype).tiny))
     Hs = H * (d_isqrt[:, None] * d_isqrt[None, :])
     floor = 1.0 + 32.0 * jnp.finfo(H.dtype).eps
     Hs = Hs.at[jnp.arange(n), jnp.arange(n)].set(floor)
-    Lh = recursive_cholesky(Hs)
-    y = recursive_trsm(Lh, d_isqrt * g)
-    return d_isqrt * recursive_trsm(Lh, y, trans=True)
+    _, W = cholesky_inverse(Hs)
+    y = jnp.matmul(W, d_isqrt * g, precision=_HI)
+    return d_isqrt * jnp.matmul(W.T, y, precision=_HI)

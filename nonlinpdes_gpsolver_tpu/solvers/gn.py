@@ -151,6 +151,109 @@ class GNState(NamedTuple):
     z: jnp.ndarray
     losses: jnp.ndarray  # loss history, one entry per iteration (post-step)
     converged_finite: jnp.ndarray  # False if any step was rejected as non-finite
+    # per-iteration inner-solve iteration counts (CG/Woodbury step solvers;
+    # zeros for direct solvers). Surfaced so a truncated inner solve - the
+    # silent-failure mode of a capped ``cg_maxiter`` - is diagnosable from
+    # the result instead of invisible (round-4 ADVICE item 2).
+    cg_iters: jnp.ndarray | None = None
+
+
+def _batched_cg(normal_op, B, tol, maxiter, M=None, X0=None):
+    """Conjugate gradients on a *matrix* of right-hand sides sharing one SPD
+    operator - the inner solve of the ``'cg'`` and ``'woodbury'`` step
+    solvers.
+
+    ``normal_op(V)`` must apply the operator columnwise to ``V`` of shape
+    ``(m, k)``; per-column step lengths keep each column's Krylov recursion
+    exact (this is k independent CG runs sharing their operator
+    applications, not block-CG). Columns whose residual has dropped below
+    ``tol * ||b||`` are frozen (alpha = beta = 0) while the rest continue;
+    the loop exits when all have, or at ``maxiter``. Returns ``(X, iters)``
+    with ``iters`` the total iteration count (device scalar).
+
+    Batching matters on TPU: one operator application on a (m, k) panel runs
+    the distributed triangular solves / whitening matmuls at MXU-efficient
+    widths, where k separate vector solves would each be memory-bound
+    GEMVs - the Woodbury step owes its throughput to this.
+
+    ``X0``: optional warm start (costs one extra operator application for
+    the initial residual). The Woodbury step carries the previous GN
+    iteration's solves: the misfit right-hand sides are constant and the
+    operator changes only through the relinearization, so later GN steps
+    start close and converge in a fraction of the cold iteration count.
+    """
+    dtype = B.dtype
+    tol2 = (jnp.asarray(tol, dtype) ** 2) * jnp.sum(B * B, axis=0)
+
+    def prec(R):
+        return M(R) if M is not None else R
+
+    if X0 is None:
+        X0 = jnp.zeros_like(B)
+        R0 = B
+    else:
+        R0 = B - normal_op(X0)
+    Z0 = prec(R0)
+    gamma0 = jnp.sum(R0 * Z0, axis=0)
+
+    def cond(c):
+        X, R, Pd, gamma, i = c
+        return (i < maxiter) & jnp.any(jnp.sum(R * R, axis=0) > tol2)
+
+    def body(c):
+        X, R, Pd, gamma, i = c
+        active = jnp.sum(R * R, axis=0) > tol2
+        Q = normal_op(Pd)
+        denom = jnp.sum(Pd * Q, axis=0)
+        safe = active & (denom > 0)
+        alpha = jnp.where(safe, gamma / jnp.where(safe, denom, 1.0), 0.0)
+        X = X + alpha[None, :] * Pd
+        R = R - alpha[None, :] * Q
+        Z = prec(R)
+        gamma_new = jnp.sum(R * Z, axis=0)
+        beta = jnp.where(safe, gamma_new / jnp.where(gamma > 0, gamma, 1.0), 0.0)
+        Pd = Z + beta[None, :] * Pd
+        return X, R, Pd, gamma_new, i + 1
+
+    X, _, _, _, iters = jax.lax.while_loop(
+        cond, body, (X0, R0, Z0, gamma0, jnp.asarray(0))
+    )
+    return X, iters
+
+
+def _woodbury_pieces(misfit_spec, data, z):
+    """Misfit low-rank data for the Woodbury step: ``(U, wvec)`` with ``U``
+    the (m, K) stacked misfit Jacobian transposes (K = total misfit rows,
+    built by K VJPs - misfit row counts are small by construction) and
+    ``wvec`` the per-row weights, so the misfit Hessian term is
+    ``U diag(wvec) U^T``."""
+    Us, ws = [], []
+    for residual, weight in misfit_spec:
+        f = lambda zz, _r=residual: _r(zz, data)
+        Fm, vjp = jax.vjp(f, z)
+        basis = jnp.eye(Fm.shape[0], dtype=z.dtype)
+        Jm = jax.vmap(lambda e, _v=vjp: _v(e)[0])(basis)  # (K_m, m)
+        Us.append(Jm.T)
+        ws.append(jnp.full((Fm.shape[0],), weight, z.dtype))
+    return jnp.concatenate(Us, axis=1), jnp.concatenate(ws)
+
+
+def _woodbury_correct(X, U, wvec, hessian_jitter):
+    """Combine the misfit-free solves ``X = H0^{-1} [g, U]`` into the exact
+    step for ``H = H0 + U diag(w) U^T``:
+
+    ``H^{-1} g = X_g - X_U (diag(1/w) + U^T X_U)^{-1} (U^T X_g)``
+
+    (Sherman-Morrison-Woodbury on the rank-K misfit). The capacitance
+    matrix is (K, K) - for the Darcy inverse K = n_data = 60 rows
+    (upstream ``main_DarcyFlow2d.py:63``), so the correction is noise-level
+    cheap at ANY latent dimension."""
+    hi = jax.lax.Precision.HIGHEST
+    Xg, Xu = X[:, 0], X[:, 1:]
+    C = jnp.diag(1.0 / wvec) + jnp.matmul(U.T, Xu, precision=hi)
+    t = jnp.matmul(U.T, Xg, precision=hi)
+    y = spd_solve(C, t, jitter=hessian_jitter)
+    return Xg - jnp.matmul(Xu, y, precision=hi)
 
 
 @partial(jax.jit, static_argnums=(3,))
@@ -631,41 +734,74 @@ def _gn_scan(
         r, jvp = jax.linearize(wr, z)
         _, vjp = jax.vjp(wr, z)
 
-        def normal_op(v):
-            hv = vjp(jvp(v))[0]
+        def normal_op(V):
+            HV = jax.vmap(
+                lambda v: vjp(jvp(v))[0], in_axes=1, out_axes=1
+            )(V)
             if hessian_jitter:
-                hv = hv + hessian_jitter * v
-            return hv
+                HV = HV + hessian_jitter * V
+            return HV
 
         g = vjp(r)[0]
         M = _misfit_jacobi_precond(spec[1], arrays["data"], z)
-        delta, _ = jax.scipy.sparse.linalg.cg(
-            normal_op, g, tol=cg_tol, maxiter=cg_maxiter, M=M
+        Mb = None if M is None else M  # columnwise-safe (elementwise scale)
+        X, it = _batched_cg(
+            normal_op, g[:, None], cg_tol, cg_maxiter, M=Mb
         )
-        return delta
+        return X[:, 0], it
+
+    def delta_woodbury(z):
+        """Exact step for misfit-coupled problems at any latent dimension:
+        CG on the misfit-FREE normal operator (whose spectrum is the
+        well-conditioned whitened-GP one - the ``1/noise^2`` misfit rows
+        are exactly what stalls plain CG, measured in PERF.md), then the
+        rank-K Sherman-Morrison-Woodbury correction through the (K, K)
+        capacitance matrix. State beyond the factors: O(m K). See
+        :func:`_woodbury_correct`."""
+        wr0 = lambda zz: _whitened_residual_from((spec[0], ()), arrays, zz)
+        r0, jvp0 = jax.linearize(wr0, z)
+        _, vjp0 = jax.vjp(wr0, z)
+
+        def H0(V):
+            HV = jax.vmap(
+                lambda v: vjp0(jvp0(v))[0], in_axes=1, out_axes=1
+            )(V)
+            jit_eff = hessian_jitter if hessian_jitter else 0.0
+            return HV + jit_eff * V if jit_eff else HV
+
+        g = vjp0(r0)[0]
+        for residual, weight in spec[1]:
+            f = lambda zz, _r=residual: _r(zz, arrays["data"])
+            Fm, vjpm = jax.vjp(f, z)
+            g = g + weight * vjpm(Fm)[0]
+        U, wvec = _woodbury_pieces(spec[1], arrays["data"], z)
+        R = jnp.concatenate([g[:, None], U], axis=1)
+        X, it = _batched_cg(H0, R, cg_tol, cg_maxiter)
+        return _woodbury_correct(X, U, wvec, hessian_jitter), it
 
     inner = {
         "cg": delta_cg,
-        "structured": delta_structured,
-        "direct": delta_direct,
+        "woodbury": delta_woodbury,
+        "structured": lambda z: (delta_structured(z), jnp.asarray(0)),
+        "direct": lambda z: (delta_direct(z), jnp.asarray(0)),
     }[step_solver]
 
     def step(carry, _):
         z, ok = carry
-        delta = inner(z)
+        delta, it = inner(z)
         z_new = z - step_size * delta
         finite = jnp.all(jnp.isfinite(z_new))
         z_next = jnp.where(finite, z_new, z)
         ok = jnp.logical_and(ok, finite)
         r_next = wr(z_next)
         loss = jnp.dot(r_next, r_next)
-        return (z_next, ok), loss
+        return (z_next, ok), (loss, jnp.asarray(it, jnp.int32))
 
     if tol is None:
-        (z_final, ok), losses = jax.lax.scan(
+        (z_final, ok), (losses, iters) = jax.lax.scan(
             step, (z_init, jnp.asarray(True)), None, length=max_iter
         )
-        return z_final, losses, ok
+        return z_final, losses, ok, iters
 
     # convergence-tolerance mode: iterate until the loss plateaus
     # (|prev - cur| <= tol * cur) or max_iter, as a device-side while_loop
@@ -676,26 +812,27 @@ def _gn_scan(
     big = jnp.asarray(jnp.finfo(z_init.dtype).max, z_init.dtype)
 
     def cond(c):
-        z, ok, i, losses, prev, cur = c
+        z, ok, i, losses, iters, prev, cur = c
         plateaued = jnp.abs(prev - cur) <= tol * jnp.maximum(
             cur, jnp.finfo(z_init.dtype).tiny
         )
         return (i < max_iter) & (~plateaued | (i < 2)) & ok
 
     def body(c):
-        z, ok, i, losses, prev, cur = c
-        (z2, ok2), loss = step((z, ok), None)
+        z, ok, i, losses, iters, prev, cur = c
+        (z2, ok2), (loss, it) = step((z, ok), None)
         losses = jax.lax.dynamic_update_index_in_dim(losses, loss, i, 0)
-        return (z2, ok2, i + 1, losses, cur, loss)
+        iters = jax.lax.dynamic_update_index_in_dim(iters, it, i, 0)
+        return (z2, ok2, i + 1, losses, iters, cur, loss)
 
-    z_final, ok, n_it, losses, _, last = jax.lax.while_loop(
+    z_final, ok, n_it, losses, iters, _, last = jax.lax.while_loop(
         cond, body,
         (z_init, jnp.asarray(True), jnp.asarray(0), jnp.full((max_iter,), big),
-         big, big),
+         jnp.zeros((max_iter,), jnp.int32), big, big),
     )
     # pad untaken iterations with the final loss so the history is monotone
     losses = jnp.where(jnp.arange(max_iter) < n_it, losses, last)
-    return z_final, losses, ok
+    return z_final, losses, ok, iters
 
 
 def gn_solve(
@@ -741,14 +878,36 @@ def gn_solve(
       is the path past the reference's dense limit: at 100k+ collocation
       points the explicit Jacobian panel no longer fits, but whitening keeps
       ``J^T J`` well-conditioned so CG converges quickly.
+    * ``'woodbury'`` - for misfit-coupled problems (the Darcy inverse): CG
+      on the misfit-FREE normal operator (the ``1/noise^2``-weighted misfit
+      rows are exactly what stalls plain CG) against the stacked
+      ``[g, J_misfit^T]`` right-hand sides, then the exact rank-K
+      Sherman-Morrison-Woodbury correction through the (K, K) capacitance
+      matrix (K = total misfit rows, e.g. n_data = 60). Memory beyond the
+      factors: O(latent * K). Requires the misfit-free normal operator to
+      be positive definite (true whenever every latent slice appears in
+      some GP-block residual row, as in all elimination-form problems
+      here).
+
+    ``cg_maxiter`` defaults to **500** (not JAX's ``10 * latent_dim``): an
+    unconverged hard normal operator would otherwise run a multi-minute
+    device-side while_loop (measured: it killed a TPU worker). A step
+    truncated by the cap is observable: ``GNState.cg_iters`` records the
+    inner iteration count per GN step - ``cg_iters == cg_maxiter`` means
+    the tolerance was not reached.
     """
     z_init = fp.problem.init_latent() if z0 is None else jnp.asarray(z0)
     dtype = next(iter(fp.factors.values())).dtype
     z_init = z_init.astype(dtype)
     if cg_maxiter is None:
-        cg_maxiter = 500  # hang guard; see gn_solve_distributed
+        cg_maxiter = 500  # hang guard (see docstring); surfaced via cg_iters
 
     p = fp.problem
+    if step_solver == "woodbury" and not p.misfits:
+        raise ValueError(
+            "step_solver='woodbury' is the misfit-coupled step; this "
+            "problem has no misfit terms (use 'cg' or 'direct')"
+        )
     structure = None
     if step_solver in ("auto", "structured"):
         cand = _slice_structure(p)
@@ -783,7 +942,7 @@ def gn_solve(
         "scale": dict(fp.col_scales),
         "data": p.data,
     }
-    z_final, losses, ok = _gn_scan(
+    z_final, losses, ok, iters = _gn_scan(
         arrays,
         z_init,
         (block_spec, misfit_spec),
@@ -796,4 +955,4 @@ def gn_solve(
         structure=structure,
         tol=None if tol is None else float(tol),
     )
-    return GNState(z=z_final, losses=losses, converged_finite=ok)
+    return GNState(z=z_final, losses=losses, converged_finite=ok, cg_iters=iters)

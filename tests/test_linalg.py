@@ -126,3 +126,26 @@ def test_spd_solve_controlled_matches_lapack(n):
     np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-6, atol=1e-9)
     # the default path (CPU branch here) agrees too
     np.testing.assert_allclose(np.asarray(spd_solve(H, g)), ref, rtol=1e-6, atol=1e-9)
+
+
+def test_cholesky_inverse_all_gemm():
+    """The simultaneous (L, L^{-1}) factorization (the all-GEMM SPD-solve
+    substrate behind spd_solve_controlled, round-5): both outputs accurate
+    on an ill-conditioned SPD matrix, at f32 and f64."""
+    import jax.numpy as jnp
+
+    from nonlinpdes_gpsolver_tpu.ops.linalg import cholesky_inverse
+
+    rng = np.random.default_rng(0)
+    n = 500
+    A = rng.standard_normal((n, n))
+    # spread the spectrum: scale rows/cols to induce ~1e6 conditioning
+    s = np.logspace(0, 3, n)
+    H = (A @ A.T + n * np.eye(n)) * np.outer(s, s)
+    for dtype, tol in ((jnp.float64, 1e-12), (jnp.float32, 1e-5)):
+        L, W = cholesky_inverse(jnp.asarray(H, dtype))
+        Lr, Wr = np.asarray(L), np.asarray(W)
+        assert np.max(np.abs(Lr @ Lr.T - H)) / np.max(np.abs(H)) < tol
+        assert np.max(np.abs(Wr @ Lr - np.eye(n))) < 200 * tol
+        # strictly lower-triangular outputs
+        assert np.allclose(np.triu(Lr, 1), 0) and np.allclose(np.triu(Wr, 1), 0)
