@@ -44,8 +44,10 @@ def main():
     parser.add_argument("--superblock", type=int, default=2048)
     parser.add_argument(
         "--step_solver", type=str, default="auto",
-        choices=["auto", "direct", "cg", "structured", "normal"],
+        choices=["auto", "direct", "cg", "structured", "normal", "woodbury"],
     )
+    parser.add_argument("--cg_maxiter", type=int, default=None)
+    parser.add_argument("--cg_tol", type=float, default=None)
     parser.add_argument("--tol", type=float, default=None,
                         help="loss-plateau stopping tolerance (gn_steps caps)")
     parser.add_argument("--test_grid", type=int, default=60)
@@ -205,7 +207,8 @@ def main():
                 t1 = time.perf_counter()
                 st = gn_solve_distributed(
                     fp, max_iter=args.gn_steps, step_solver=args.step_solver,
-                    tol=args.tol,
+                    tol=args.tol, cg_maxiter=args.cg_maxiter,
+                    cg_tol=args.cg_tol,
                 )
                 # NOTE a real value fetch is the only reliable completion
                 # barrier on this backend (block_until_ready can return
@@ -224,6 +227,14 @@ def main():
                 st = gn_solve(
                     fp, max_iter=args.gn_steps, step_solver=args.step_solver,
                     tol=args.tol,
+                    **(
+                        {"cg_maxiter": args.cg_maxiter}
+                        if args.cg_maxiter is not None else {}
+                    ),
+                    **(
+                        {"cg_tol": args.cg_tol}
+                        if args.cg_tol is not None else {}
+                    ),
                 )
                 jax.device_get(st.z)  # real fetch = reliable barrier
                 t2 = time.perf_counter()
@@ -233,6 +244,9 @@ def main():
             t3 = time.perf_counter()
             err = gpt.GPSolver.errors(pred, truth)
             note = extra(post) if extra else ""
+            iters = np.asarray(st.cg_iters) if st.cg_iters is not None else None
+            if iters is not None and iters.any():
+                note = f"{note} cg_iters {iters.tolist()}".strip()
             return prob, (t1 - t0, t2 - t1, t3 - t2), err, note
 
         prob, ts, err, note = run(0)

@@ -250,10 +250,12 @@ class GPSolver:
                         "block %r: nugget escalated x%g to keep Cholesky "
                         "finite", n, float(s_used),
                     )
+            from .solvers.gn import QUALITY_TOL
+
             bad = {
                 n: float(q)
                 for n, q in zip(qnames, qvals)
-                if not (math.isfinite(float(q)) and float(q) < 1e-2)
+                if not (math.isfinite(float(q)) and float(q) < QUALITY_TOL)
             }
             if not bad:
                 break

@@ -43,17 +43,50 @@ def _eval_key(fn: Callable):
     The key must cover every value the function can read: a closure-free
     callable reading a module-level variable that is later REBOUND (re-run
     notebook cell, mutated config global) would otherwise hit the cache and
-    silently evaluate with the stale traced value. ``co_names`` lists every
-    global/builtin name the code object loads, so their current values join
-    the key; anything unhashable (arrays, lists) falls back to identity
-    keying - correct, just uncached."""
+    silently evaluate with the stale traced value. ``co_names`` is walked
+    through nested code objects too (a lambda returned by a factory reads
+    its globals through an inner code object absent from the outer
+    ``co_names``). Unhashable VALUES (arrays, lists) are keyed by a stable
+    identity token ``(id, type)`` plus shape/dtype for arrays - rebinding
+    the global to a new object changes ``id`` and misses the cache, while a
+    repeatedly-built same-config function still hits it (round-4 ADVICE
+    item 4: falling back to identity-keying the whole function
+    reintroduced the per-solve retrace the cache exists to avoid). An
+    in-place MUTATION of the same array object is the one case the token
+    cannot see - the same caveat jit's own weak-reference caching has."""
+
+    def _code_names(code, seen=None):
+        if seen is None:
+            seen = set()
+        names = set(code.co_names)
+        for const in code.co_consts:
+            if hasattr(const, "co_names") and id(const) not in seen:
+                seen.add(id(const))
+                names |= _code_names(const, seen)
+        return names
+
+    def _token(v):
+        try:
+            hash(v)
+            return v
+        except TypeError:
+            shape = getattr(v, "shape", None)
+            dtype = getattr(v, "dtype", None)
+            return ("#unhashable", id(v), type(v).__name__, str(shape),
+                    str(dtype))
+
     try:
-        cells = tuple(c.cell_contents for c in (fn.__closure__ or ()))
+        cells = tuple(
+            _token(c.cell_contents) for c in (fn.__closure__ or ())
+        )
         gl = fn.__globals__
         gvals = tuple(
-            (name, gl[name]) for name in fn.__code__.co_names if name in gl
+            (name, _token(gl[name]))
+            for name in sorted(_code_names(fn.__code__))
+            if name in gl
         )
-        key = (fn.__code__, fn.__defaults__, cells, gvals)
+        defaults = tuple(_token(d) for d in (fn.__defaults__ or ()))
+        key = (fn.__code__, defaults, cells, gvals)
         hash(key)
         return key
     except Exception:

@@ -502,6 +502,25 @@ def spd_solve(H: jnp.ndarray, g: jnp.ndarray, jitter: float = 0.0) -> jnp.ndarra
     return spd_solve_controlled(H, g)
 
 
+def spd_inverse(H: jnp.ndarray, leaf: int = 256) -> jnp.ndarray:
+    """Explicit SPD inverse via the equilibrated all-GEMM factorization
+    (``H^{-1} = D^{-1/2} W^T W D^{-1/2}`` with ``W`` the inverse Cholesky
+    factor of the equilibrated matrix). Same ``32 eps`` diagonal floor as
+    :func:`spd_solve_controlled`. Used for the small (r x r) projected
+    operators of the deflation preconditioner, where the inverse is applied
+    every CG iteration."""
+    n = H.shape[0]
+    d = jnp.diagonal(H)
+    d_isqrt = jax.lax.rsqrt(jnp.maximum(d, jnp.finfo(H.dtype).tiny))
+    Hs = H * (d_isqrt[:, None] * d_isqrt[None, :])
+    floor = 1.0 + 32.0 * jnp.finfo(H.dtype).eps
+    Hs = Hs.at[jnp.arange(n), jnp.arange(n)].set(floor)
+    _, W = cholesky_inverse(Hs, leaf)
+    return jnp.matmul(W.T, W, precision=_HI) * (
+        d_isqrt[:, None] * d_isqrt[None, :]
+    )
+
+
 def spd_solve_controlled(H: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
     """Equilibrated all-GEMM SPD solve with HIGHEST-precision dots (the
     accelerator branch of :func:`spd_solve`; separable for testing).

@@ -139,7 +139,7 @@ def factorize_distributed(
     nugget_type: str = "adaptive",
     axis: str = "p",
     block: int = 256,
-    quality_tol: float = 1e-2,
+    quality_tol: float | None = None,
     max_attempts: int = 8,
     guard: bool = True,
     chunk_cols: int = 4096,
@@ -184,7 +184,10 @@ def factorize_distributed(
     tunneled backend; the Darcy problem has two blocks).
     """
     from ..parallel.fused import assemble_factor_fused, sampled_row_quality
+    from .gn import QUALITY_TOL
 
+    if quality_tol is None:
+        quality_tol = QUALITY_TOL
     factors: Dict[str, BlockCyclicFactor] = {}
     col_scales: Dict[str, jnp.ndarray] = {}
     scales: Dict[str, float] = {}
@@ -468,6 +471,34 @@ def _kernel_solve_vec(localL, winvs, d_pad, v, meta, P_, axis):
     return y[:n_b, 0] * d_pad[:n_b]
 
 
+def _theta_apply_mat(localL, d_pad, V, meta, P_, axis):
+    """In-region multi-RHS ``Theta_reg V`` through the equilibrated sharded
+    factor: ``Theta_reg = D^{1/2} L~ L~^T D^{1/2}`` with ``D^{-1/2}`` the
+    stored equilibration, so the application is two triangular GEMM passes
+    (transpose: local rows contracted + psum; forward: local rows + one
+    all_gather re-interleave) - no substitution loop at all. Used by the
+    deflation-basis builder (the prior map applied to random probes spans
+    the smooth latent modes)."""
+    n_b, n_pad, B, nb = meta
+    nbl = nb // P_
+    p = lax.axis_index(axis)
+    g_idx = jnp.arange(nbl) * P_ + p
+    hi = jax.lax.Precision.HIGHEST
+    k = V.shape[1]
+    Vp = jnp.pad(V / d_pad[:n_b, None], ((0, n_pad - n_b), (0, 0)))
+    L2 = localL.reshape(nbl * B, n_pad)
+    # y1 = L~^T Vp : contract this device's rows against its slice of Vp
+    Vmy = jax.vmap(
+        lambda g: lax.dynamic_slice(Vp, (g * B, 0), (B, k))
+    )(g_idx).reshape(nbl * B, k)
+    y1 = lax.psum(jnp.matmul(L2.T, Vmy, precision=hi), axis)
+    # y2 = L~ y1 : my block rows, then re-interleave to natural order
+    rows = jnp.matmul(L2, y1, precision=hi).reshape(nbl, B, k)
+    gathered = lax.all_gather(rows, axis)  # (P, nbl, B, k)
+    y2 = gathered.transpose(1, 0, 2, 3).reshape(n_pad, k)
+    return y2[:n_b] / d_pad[:n_b, None]
+
+
 def _kernel_solve_mat(localL, winvs, d_pad, V, meta, P_, axis):
     """In-region multi-RHS ``Theta^{-1} V`` (``V`` (n_b, k) replicated).
 
@@ -486,6 +517,7 @@ def _gn_scan_kernel(
     localLs, winvs_t, d_pads, z0, data, *,
     spec, blocks_meta, P_, axis, max_iter, step_size, solver,
     hessian_jitter, cg_tol, cg_maxiter, m, mloc, structure=None, tol=None,
+    id_rows=None, deflation_rank=0,
 ):
     """shard_map body: the ENTIRE Gauss-Newton scan.
 
@@ -545,6 +577,86 @@ def _gn_scan_kernel(
 
         return H0
 
+    # ---- spectral deflation (the enabling device for the Krylov step
+    # solvers at production nuggets) -------------------------------------
+    #
+    # The inner operators' condition number is ~1/nugget (the kernel
+    # inverse's spectrum), so plain CG needs thousands of iterations and
+    # f32 cannot converge it at all (measured). But the SMALL-eigenvalue
+    # subspace of J^T Theta^{-1} J is the image of the prior's SMOOTH
+    # modes, whose dimension is the kernel's effective rank - a few
+    # hundred, INDEPENDENT of N (measured: Darcy N=300 and N=800 both
+    # converge in ~60-120 iterations with r=400-600 deflation vectors,
+    # f32-accurate, vs 4000+ undeflated). The basis is built ONCE per
+    # solve: random probes pushed through the prior restricted to the
+    # identity residual rows (``S Theta S^T``, two triangular GEMM passes
+    # per block), orthonormalized by QR; each GN step then projects the
+    # current operator onto it (one r-wide batched application), solves
+    # the (r, r) projected system directly, and lets CG handle the
+    # well-conditioned remainder through
+    #   M^{-1} = V T^{-1} V^T + (I - V V^T) / gamma .
+    def deflation_basis():
+        s_lat, N, _seginfo = structure
+        r = min(deflation_rank, m)
+        Om = jax.random.normal(jax.random.PRNGKey(17), (m, r), z0.dtype)
+        Y = jnp.zeros((m, r), z0.dtype)
+        for bi, (L, W, d, bm) in enumerate(
+            zip(localLs, winvs_t, d_pads, blocks_meta)
+        ):
+            n_b = bm[0]
+            E = jnp.zeros((n_b, r), z0.dtype)
+            live = [(j, off) for j, (bj, off) in enumerate(id_rows) if bj == bi]
+            if not live:
+                continue
+            for j, off in live:
+                E = lax.dynamic_update_slice(
+                    E, Om[j * N : (j + 1) * N], (off, 0)
+                )
+            TY = _theta_apply_mat(L, d, E, bm, P_, axis)
+            for j, off in live:
+                Y = lax.dynamic_update_slice(
+                    Y, TY[off : off + N], (j * N, 0)
+                )
+        V, _ = jnp.linalg.qr(Y)
+        return V
+
+    use_deflation = (
+        solver in ("cg", "woodbury")
+        and id_rows is not None
+        and structure is not None
+        and deflation_rank
+    )
+    V_defl = deflation_basis() if use_deflation else None
+    hi_p = jax.lax.Precision.HIGHEST
+
+    def deflated_precond(op, g):
+        """Build the two-level preconditioner for this step's operator:
+        project onto the deflation basis (one r-wide batched application),
+        invert the (r, r) projection, estimate the bulk scale by power
+        iteration for the complementary Richardson term."""
+        from ..ops.linalg import spd_inverse
+
+        B = op(V_defl)
+        T = jnp.matmul(V_defl.T, B, precision=hi_p)
+        Ti = spd_inverse(T)
+        v = g / (jnp.linalg.norm(g) + jnp.finfo(g.dtype).tiny)
+        lam = jnp.asarray(1.0, g.dtype)
+        for _ in range(4):
+            hv = op(v[:, None])[:, 0]
+            lam = jnp.linalg.norm(hv)
+            v = hv / (lam + jnp.finfo(g.dtype).tiny)
+        gamma = lam / 10.0
+
+        def M(R):
+            xv = jnp.matmul(V_defl.T, R, precision=hi_p)
+            smooth = jnp.matmul(
+                V_defl, jnp.matmul(Ti, xv, precision=hi_p), precision=hi_p
+            )
+            rough = (R - jnp.matmul(V_defl, xv, precision=hi_p)) / gamma
+            return smooth + rough
+
+        return M
+
     def cg_delta(z):
         """Matrix-free normal solve: each operator application is one JVP,
         one forward+transpose triangular-solve pair on a vector, one VJP -
@@ -573,19 +685,26 @@ def _gn_scan_kernel(
                 )(JV)
             return out
 
-        # Jacobi preconditioner from the exact (cheap: n_data VJPs) misfit
-        # Jacobian - see gn._misfit_jacobi_precond: heavily-weighted data
-        # misfits put ~1/noise^2 entries on scattered diagonal elements of
-        # J^T J and unpreconditioned CG pays ~sqrt(cond) iterations for it
-        # (measured: the mesh-path Darcy inverse ran away without this)
-        M = None
-        if mis:
-            d_pre = jnp.ones_like(z)
-            for w, F, jvp, vjp in mis:
-                basis = jnp.eye(F.shape[0], dtype=z.dtype)
-                Jm = jax.vmap(lambda e, _v=vjp: _v(e)[0])(basis)
-                d_pre = d_pre + w * jnp.sum(Jm * Jm, axis=0)
-            M = lambda V: V / d_pre[:, None]
+        if V_defl is not None:
+            # two-level spectral deflation on the full operator (misfit
+            # included in the projection): the smooth subspace is solved
+            # directly, the misfit outliers (rank <= n_mis) and the rough
+            # bulk fall to CG - both fast
+            M = deflated_precond(normal_op, g)
+        else:
+            # Jacobi preconditioner from the exact (cheap: n_data VJPs)
+            # misfit Jacobian - see gn._misfit_jacobi_precond: weighted
+            # misfits put ~1/noise^2 entries on scattered diagonal
+            # elements of J^T J (measured: the mesh-path Darcy inverse ran
+            # away without this)
+            M = None
+            if mis:
+                d_pre = jnp.ones_like(z)
+                for w, F, jvp, vjp in mis:
+                    basis = jnp.eye(F.shape[0], dtype=z.dtype)
+                    Jm = jax.vmap(lambda e, _v=vjp: _v(e)[0])(basis)
+                    d_pre = d_pre + w * jnp.sum(Jm * Jm, axis=0)
+                M = lambda V: V / d_pre[:, None]
 
         X, it = _batched_cg(normal_op, g[:, None], cg_tol, cg_maxiter, M=M)
         return X[:, 0], it
@@ -615,18 +734,62 @@ def _gn_scan_kernel(
         solves (carried through the scan; one extra operator application for
         the initial residual): the misfit right-hand sides are constant and
         H0 changes only through the relinearization, so later GN steps
-        converge in a fraction of the cold iteration count. Returns
-        ``(delta, cg_iterations, X)``."""
+        converge in a fraction of the cold iteration count.
+
+        **Levenberg damping is load-bearing, not cosmetic.** The Woodbury
+        correction amplifies the inner solves' error through the
+        capacitance solve, so it needs CONVERGED inner CG - and the raw
+        H0's condition number is ~1/nugget (measured: at nugget 1e-8 the
+        f32 truncated-CG correction produced garbage steps that blew the
+        Darcy iterate up to L2 ~1e17; CPU f32 reproduces it, so it is
+        numerics, not a backend bug). When ``hessian_jitter`` is 0, the
+        inner operator's spectrum is floored at ``256 eps lambda_max``
+        (lambda_max estimated by a few in-kernel power iterations), capping
+        the inner condition at ~1/(256 eps) ~ 3e4 in f32 - a level CG
+        converges at in a few hundred iterations WITH an accurate result.
+        The step then solves ``(H + lambda I) delta = g`` exactly - a
+        Levenberg-Marquardt step; the outer loop absorbs the damping.
+        Returns ``(delta, cg_iterations, X)``."""
         lins = _linearize_blocks(z)
         g = _gp_gradient(lins, z)
         for rfn, w in spec[1]:
             f = lambda zz, _r=rfn: _r(zz, data)
             F, vjp = jax.vjp(f, z)
             g = g + w * vjp(F)[0]
+        H0 = _h0_mat(lins)
+        if V_defl is not None:
+            # the production configuration: deflated PCG converges the
+            # inner solves (tens of iterations, f32-accurate), so the
+            # capacitance correction is applied to CONVERGED panels
+            M = deflated_precond(H0, g)
+            Hop = H0
+        else:
+            # fallback without an identity-row map: Levenberg damping
+            # floors the spectrum at 256 eps lambda_max so f32 CG still
+            # converges (to a damped step - the outer loop absorbs it)
+            M = None
+            if hessian_jitter:
+                lam = jnp.asarray(hessian_jitter, z.dtype)
+            else:
+                eps = jnp.finfo(z.dtype).eps
+                v = g / (jnp.linalg.norm(g) + jnp.finfo(z.dtype).tiny)
+                lam_est = jnp.asarray(1.0, z.dtype)
+                for _ in range(4):
+                    hv = H0(v[:, None])[:, 0]
+                    lam_est = jnp.linalg.norm(hv)
+                    v = hv / (lam_est + jnp.finfo(z.dtype).tiny)
+                lam = 256.0 * eps * lam_est
+
+            def Hop(V):
+                return H0(V) + lam * V
+
         U, wvec = _woodbury_pieces(spec[1], data, z)
         R = jnp.concatenate([g[:, None], U], axis=1)
-        X, it = _batched_cg(_h0_mat(lins), R, cg_tol, cg_maxiter, X0=X0)
-        return _woodbury_correct(X, U, wvec, hessian_jitter), it, X
+        X, it = _batched_cg(Hop, R, cg_tol, cg_maxiter, M=M, X0=X0)
+        # guard the warm-start carry: a non-finite panel (CG on a garbage
+        # operator) must not poison every subsequent step through X0
+        X = jnp.where(jnp.all(jnp.isfinite(X)), X, jnp.zeros_like(X))
+        return _woodbury_correct(X, U, wvec, 0.0), it, X
 
     def make_normal_state():
         """Per-block replicated interior kernel-inverse blocks - computed
@@ -732,8 +895,60 @@ def _gn_scan_kernel(
     else:
         Xw0 = jnp.zeros((0, 0), z0.dtype)
 
+    # Damped (guarded) update: the full step is accepted outright unless it
+    # is non-finite or inflates the loss past 2x the incoming value - the
+    # legitimate transient growth of Gauss-Newton on nonlinear problems
+    # (e.g. the measured Burgers oscillation) stays untouched, while a
+    # catastrophic direction (an f32 truncated-CG Woodbury step on an
+    # ill-conditioned inner operator was measured to blow the iterate up
+    # to L2 ~1e17) is halved up to 4 times and the best finite trial kept.
+    # A step whose every trial is non-finite freezes the iterate and clears
+    # ``converged_finite`` (previous semantics). Each extra trial costs one
+    # whitened-residual evaluation (a distributed TRSM pass) and only runs
+    # when the full step already failed the growth test.
+    big_loss = jnp.asarray(jnp.finfo(z0.dtype).max, z0.dtype)
+
+    def damped_update(z, delta, loss_in):
+        def eval_at(s):
+            z_t = z - (s * step_size) * delta
+            finite = jnp.all(jnp.isfinite(z_t))
+            z_s = jnp.where(finite, z_t, z)
+            r = whitened_residual(z_s)
+            return z_s, jnp.where(finite, jnp.dot(r, r), big_loss), finite
+
+        one = jnp.asarray(1.0, z0.dtype)
+        z1, l1, f1 = eval_at(one)
+
+        def cond(c):
+            s, zc, lc, fc, t = c
+            return (t < 4) & (lc > 2.0 * loss_in)
+
+        def body(c):
+            s, zc, lc, fc, t = c
+            s2 = s * 0.5
+            z2, l2, f2 = eval_at(s2)
+            better = l2 < lc
+            return (
+                s2,
+                jnp.where(better, z2, zc),
+                jnp.minimum(l2, lc),
+                fc | (f2 & better),
+                t + 1,
+            )
+
+        _, z_b, l_b, f_b, _ = lax.while_loop(
+            cond, body, (one, z1, l1, f1, jnp.asarray(0))
+        )
+        z_next = jnp.where(f_b, z_b, z)
+        loss = jnp.where(f_b, l_b, loss_in)
+        return z_next, loss, f_b
+
+    def init_loss(z):
+        r = whitened_residual(z)
+        return jnp.dot(r, r)
+
     def step(carry, _):
-        z, ok, Xw = carry
+        z, ok, Xw, loss_prev = carry
         it = jnp.asarray(0)
         if solver == "cg":
             delta, it = cg_delta(z)
@@ -743,16 +958,14 @@ def _gn_scan_kernel(
             delta = normal_delta(ainvs, z)
         else:
             delta = direct_delta(z)
-        z_new = z - step_size * delta
-        finite = jnp.all(jnp.isfinite(z_new))
-        z_next = jnp.where(finite, z_new, z)
-        ok = jnp.logical_and(ok, finite)
-        r = whitened_residual(z_next)
-        return (z_next, ok, Xw), (jnp.dot(r, r), jnp.asarray(it, jnp.int32))
+        z_next, loss, fin = damped_update(z, delta, loss_prev)
+        ok = jnp.logical_and(ok, fin)
+        return (z_next, ok, Xw, loss), (loss, jnp.asarray(it, jnp.int32))
 
     if tol is None:
-        (z_final, ok, _), (losses, iters) = lax.scan(
-            step, (z0, jnp.asarray(True), Xw0), None, length=max_iter
+        (z_final, ok, _, _), (losses, iters) = lax.scan(
+            step, (z0, jnp.asarray(True), Xw0, init_loss(z0)), None,
+            length=max_iter,
         )
         return z_final, losses, ok, iters
 
@@ -766,22 +979,22 @@ def _gn_scan_kernel(
     big = jnp.asarray(jnp.finfo(z0.dtype).max, z0.dtype)
 
     def cond(c):
-        z, ok, Xw, i, losses, iters, prev, cur = c
+        z, ok, Xw, lp, i, losses, iters, prev, cur = c
         plateaued = jnp.abs(prev - cur) <= tol * jnp.maximum(
             cur, jnp.finfo(z0.dtype).tiny
         )
         return (i < max_iter) & (~plateaued | (i < 2)) & ok
 
     def body(c):
-        z, ok, Xw, i, losses, iters, prev, cur = c
-        (z2, ok2, Xw), (loss, it) = step((z, ok, Xw), None)
+        z, ok, Xw, lp, i, losses, iters, prev, cur = c
+        (z2, ok2, Xw, lp2), (loss, it) = step((z, ok, Xw, lp), None)
         losses = lax.dynamic_update_index_in_dim(losses, loss, i, 0)
         iters = lax.dynamic_update_index_in_dim(iters, it, i, 0)
-        return (z2, ok2, Xw, i + 1, losses, iters, cur, loss)
+        return (z2, ok2, Xw, lp2, i + 1, losses, iters, cur, loss)
 
-    z_final, ok, _, n_it, losses, iters, _, last = lax.while_loop(
+    z_final, ok, _, _, n_it, losses, iters, _, last = lax.while_loop(
         cond, body,
-        (z0, jnp.asarray(True), Xw0, jnp.asarray(0),
+        (z0, jnp.asarray(True), Xw0, init_loss(z0), jnp.asarray(0),
          jnp.full((max_iter,), big, z0.dtype),
          jnp.zeros((max_iter,), jnp.int32), big, big),
     )
@@ -843,6 +1056,7 @@ def gn_solve_distributed(
     direct_panel_limit: int = 4096,
     tol: float | None = None,
     normal_budget_bytes: int | None = None,
+    deflation_rank: int | None = None,
     _build_only: bool = False,
 ) -> GNState:
     """The full GN loop as one compiled ``lax.scan`` over distributed steps.
@@ -895,11 +1109,11 @@ def gn_solve_distributed(
             "problem has no misfit terms (use 'cg' or 'direct')"
         )
     structure = None
+    cand = _slice_structure(fp.problem)
+    valid = cand is not None and validate_slice_structure(
+        fp.problem, cand, dtype
+    )
     if step_solver in ("auto", "structured", "normal"):
-        cand = _slice_structure(fp.problem)
-        valid = cand is not None and validate_slice_structure(
-            fp.problem, cand, dtype
-        )
         if step_solver in ("structured", "normal"):
             if not valid:
                 raise ValueError(
@@ -946,6 +1160,25 @@ def gn_solve_distributed(
             step_solver, structure = "structured", cand
         else:
             step_solver = "direct"
+
+    # spectral deflation for the Krylov step solvers: an identity-row map
+    # (a selection S with S J = I, present in every elimination-form
+    # problem here) lets the kernel build the smooth-mode basis from prior
+    # applications - see the deflation block in :func:`_gn_scan_kernel`.
+    # ``deflation_rank=None`` auto-sizes to the kernel's effective rank
+    # scale (measured: r=400-600 suffices for the Darcy inverse regardless
+    # of N); 0 disables.
+    id_rows = None
+    if step_solver in ("cg", "woodbury") and valid:
+        from .gn import identity_slice_rows
+
+        id_rows = identity_slice_rows(fp.problem, cand, dtype)
+        if id_rows is not None:
+            structure = cand
+    m0 = fp.problem.latent_dim
+    if deflation_rank is None:
+        deflation_rank = min(768, max(32, m0 // 4))
+
     if cg_tol is None:
         # inexact-Newton tolerance at the dtype's reachable level: pushing
         # f32 CG past ~1e-6 relative residual only burns iterations on
@@ -999,6 +1232,7 @@ def gn_solve_distributed(
         hessian_jitter=hessian_jitter, cg_tol=cg_tol, cg_maxiter=cg_maxiter,
         m=m, mloc=mloc, structure=structure,
         tol=None if tol is None else float(tol),
+        id_rows=id_rows, deflation_rank=int(deflation_rank),
     )
     data_specs = jax.tree.map(lambda _: P(), p.data)
     fn = jax.jit(

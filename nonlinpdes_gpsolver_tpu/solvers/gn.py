@@ -71,6 +71,14 @@ def _assemble_block(kernel, observables, points, nugget_type, nugget):
     return theta, nug
 
 
+# Factor-quality acceptance threshold shared by every verdict site: the
+# eager ladders here and in :func:`..solvers.distributed.
+# factorize_distributed` (its ``quality_tol`` default) AND the deferred
+# verdict fetched by :class:`..api.GPSolver` - one constant so the eager
+# and deferred paths can never silently diverge (round-4 ADVICE item 3).
+QUALITY_TOL = 1e-2
+
+
 @dataclasses.dataclass(frozen=True)
 class FactoredProblem:
     """A problem plus factorizations of its regularized Gram matrices.
@@ -466,7 +474,7 @@ def factorize(
                         f"block {b.name!r}: Cholesky non-finite after "
                         f"in-executable nugget escalation to {s:g}x"
                     )
-                if math.isfinite(q) and q < 1e-2:
+                if math.isfinite(q) and q < QUALITY_TOL:
                     inv_factors[b.name] = inv
                     break
                 s *= 10.0  # finite but corrupted factor: escalate anyway
@@ -600,6 +608,70 @@ def _structure_holds(fp: FactoredProblem, structure, probes: int = 2) -> bool:
         return False
     dtype = next(iter(fp.factors.values())).dtype
     return validate_slice_structure(p, structure, dtype, probes)
+
+
+_IDENTITY_ROW_CACHE: dict = {}
+
+
+def identity_slice_rows(problem: CollocationProblem, structure, dtype):
+    """For each latent slice ``j``, the ``(block_index, row_offset)`` of a
+    residual row segment that is the exact identity on that slice, or
+    ``None`` if any slice lacks one.
+
+    Every elimination-form collocation problem here includes each free
+    latent slice verbatim among its residual rows (they ARE the observed
+    nodal values, e.g. the Darcy ``[w1;w2;w0]`` / ``[...;v0;...]`` stacks,
+    upstream ``src/InverseProblems.py:105-120``). Those rows give a
+    selection ``S`` with ``S J = I`` whose prior restriction ``S Theta S^T``
+    maps random probes onto the smooth latent modes - the deflation basis of
+    the Krylov step solvers. Verified numerically (two full random-tangent
+    JVP probes per candidate; setup-time, cached like
+    :func:`validate_slice_structure`)."""
+    import numpy as np
+
+    p = problem
+    key = (
+        tuple(b.residual for b in p.blocks), structure, jnp.dtype(dtype).name,
+    )
+    try:
+        cached = _IDENTITY_ROW_CACHE.get(key, "missing")
+    except TypeError:
+        key, cached = None, "missing"
+    if cached != "missing":
+        return cached
+
+    s, N, seginfo = structure
+    rng = np.random.default_rng(7)
+    z = jnp.asarray(rng.standard_normal(p.latent_dim), dtype)
+    t1 = jnp.asarray(rng.standard_normal(p.latent_dim), dtype)
+    t2 = jnp.asarray(rng.standard_normal(p.latent_dim), dtype)
+    found = [None] * s
+    for bi, (b, segs) in enumerate(zip(p.blocks, seginfo)):
+        _, jvp = jax.linearize(lambda zz: b.residual(zz, p.data), z)
+        y1, y2 = jvp(t1), jvp(t2)
+        for off, sz in segs:
+            if sz != N:
+                continue
+            for j in range(s):
+                if found[j] is not None:
+                    continue
+                ok1 = bool(
+                    jnp.max(jnp.abs(y1[off : off + N] - t1[j * N : (j + 1) * N]))
+                    < 1e-6 * (1.0 + float(jnp.max(jnp.abs(t1))))
+                )
+                if not ok1:
+                    continue
+                ok2 = bool(
+                    jnp.max(jnp.abs(y2[off : off + N] - t2[j * N : (j + 1) * N]))
+                    < 1e-6 * (1.0 + float(jnp.max(jnp.abs(t2))))
+                )
+                if ok2:
+                    found[j] = (bi, off)
+                    break
+    result = tuple(found) if all(f is not None for f in found) else None
+    if key is not None:
+        _IDENTITY_ROW_CACHE[key] = result
+    return result
 
 
 def _misfit_jacobi_precond(misfit_spec, data, z):

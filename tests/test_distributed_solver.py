@@ -669,15 +669,24 @@ def test_distributed_auto_routes_past_budget_to_woodbury(eight_devices):
     assert rel < 1e-5, rel
 
     # the memory contract that makes woodbury the north-star step: its
-    # compiled per-device state is O(m K), far below the 'normal' step's
-    # replicated (sN)^2 kernel-inverse blocks + 2 m^2 (round-4 VERDICT
-    # weak item 2: GN state must shrink with P / stay latent-linear)
+    # compiled per-device state is O(m (K + r)), far below the 'normal'
+    # step's replicated (sN)^2 kernel-inverse blocks + 2 m^2 (round-4
+    # VERDICT weak item 2: GN state must stay latent-linear). Asserted at
+    # a size where the quadratic state dominates the executable's fixed
+    # overheads (m = 1536: m^2 is ~19 MB f64); build-only, nothing runs.
+    Xd2, Xb2 = gpt.utils.sample_random(jax.random.PRNGKey(4), 256, 64)
+    k2 = gpt.SquaredExponential.gaussian(0.4)
+    prob2 = gpt.models.darcy_flow(
+        k2, k2, Xd2, Xb2, jnp.linspace(0.0, 0.01, 12),
+        rhs_f=lambda x: 1.0, noise_level=1e-2, seed=3,
+    )
+    dfp2 = factorize_distributed(prob2, mesh, nugget=1e-4, block=16)
     fn_w, args_w = gn_solve_distributed(
-        dfp, max_iter=3, step_solver="woodbury", cg_maxiter=100,
-        _build_only=True,
+        dfp2, max_iter=3, step_solver="woodbury", cg_maxiter=100,
+        deflation_rank=64, _build_only=True,
     )
     fn_n, args_n = gn_solve_distributed(
-        dfp, max_iter=3, step_solver="normal", _build_only=True,
+        dfp2, max_iter=3, step_solver="normal", _build_only=True,
     )
     mw = fn_w.lower(*args_w).compile().memory_analysis()
     mn = fn_n.lower(*args_n).compile().memory_analysis()
