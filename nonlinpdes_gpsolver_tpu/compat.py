@@ -198,6 +198,7 @@ class solver_GP:
             max_iter=int(getattr(cfg, "GNsteps", 8)),
             step_size=float(getattr(cfg, "step_size", 1.0)),
             tol=getattr(cfg, "tol", None),
+            step_solver=getattr(cfg, "step_solver", "auto"),
         )
         self.loss_hist = list(self._result.losses)
         if getattr(cfg, "print_hist", True):

@@ -1123,20 +1123,21 @@ def gn_solve_distributed(
                 )
             structure = cand
         elif mloc0 > direct_panel_limit:
-            # Past the panel width cap, pick by the measured failure modes
-            # of the matrix-free CG step (PERF.md): misfit coupling (the
-            # 1/noise^2-weighted Darcy rows need thousands of CG iterations
-            # even Jacobi-preconditioned) and anisotropic kernels (the
-            # Burgers whitened operator stalls CG: losses 26.6 vs 8.8 for
-            # exact steps at 6 GN iterations, measured) both take the exact
-            # 'normal' step while its replicated state fits the measured
-            # free-HBM budget. PAST the budget, misfit-coupled problems now
-            # route to 'woodbury' - the rank-K misfit split whose state is
-            # O(m K) and whose inner CG sees only the misfit-free operator
-            # (the north-star ladder: round-4's policy handed back to plain
-            # CG here, which its own measurements disqualify). Isotropic
-            # plain collocation (elliptic, eikonal) keeps matrix-free CG:
-            # tens of iterations, O(n) state.
+            # Past the panel width cap, pick by measurement (PERF.md):
+            # isotropic misfit-coupled problems (the Darcy inverse) take
+            # 'woodbury' - the deflated rank-K misfit split is FASTER than
+            # the exact replicated 'normal' step at every measured size
+            # (N_d=2000: GN 4.6 s vs 5.7 s; 5000: 11.3 s vs 22.1 s), equal
+            # accuracy, and its O(m K + m r) state scales to any latent
+            # dimension (round-4's policy had NO algorithm past the
+            # 'normal' budget - plain CG is measured-bad on misfit
+            # coupling). Anisotropic kernels still take 'normal' while its
+            # replicated state fits the measured free-HBM budget (the
+            # deflation basis at the kernel's larger effective rank only
+            # halves the capped-budget loss gap, PERF.md); past the
+            # budget, misfit problems fall back to 'woodbury', plain
+            # collocation to 'cg' (isotropic CG converges in tens of
+            # iterations, O(n) state).
             aniso = any(
                 len(set(getattr(b.kernel, "inv_sq", (1.0,)))) > 1
                 for b in fp.problem.blocks
@@ -1146,9 +1147,11 @@ def gn_solve_distributed(
                 if normal_budget_bytes is None
                 else normal_budget_bytes
             )
-            if (
+            if fp.problem.misfits and valid and not aniso:
+                step_solver = "woodbury"
+            elif (
                 valid
-                and (fp.problem.misfits or aniso)
+                and aniso
                 and _normal_state_bytes(fp, cand, dtype) <= budget
             ):
                 step_solver, structure = "normal", cand
@@ -1165,11 +1168,24 @@ def gn_solve_distributed(
     # (a selection S with S J = I, present in every elimination-form
     # problem here) lets the kernel build the smooth-mode basis from prior
     # applications - see the deflation block in :func:`_gn_scan_kernel`.
-    # ``deflation_rank=None`` auto-sizes to the kernel's effective rank
-    # scale (measured: r=400-600 suffices for the Darcy inverse regardless
-    # of N); 0 disables.
+    # Default-on exactly where it is measured-needed: always for
+    # 'woodbury' (the undeflated inner CG cannot converge at production
+    # nuggets - f32 steps diverged outright) and for ANISOTROPIC 'cg'
+    # (deflation cut the capped-budget Burgers loss 105 -> 45); isotropic
+    # plain-collocation CG already converges in tens of iterations, where
+    # the per-step r-wide projection would be pure overhead. Explicit
+    # ``deflation_rank`` overrides (0 disables); ``None`` auto-sizes to
+    # the kernel's effective-rank scale (measured: r=400-768 suffices for
+    # the Darcy inverse regardless of N).
+    aniso_any = any(
+        len(set(getattr(b.kernel, "inv_sq", (1.0,)))) > 1
+        for b in fp.problem.blocks
+    )
     id_rows = None
-    if step_solver in ("cg", "woodbury") and valid:
+    want_deflation = step_solver == "woodbury" or (
+        step_solver == "cg" and (aniso_any or deflation_rank)
+    )
+    if want_deflation and valid and deflation_rank != 0:
         from .gn import identity_slice_rows
 
         id_rows = identity_slice_rows(fp.problem, cand, dtype)

@@ -483,12 +483,20 @@ def test_distributed_normal_step_matches_direct_darcy(eight_devices):
     np.testing.assert_allclose(
         np.asarray(st_norm.losses), np.asarray(st_direct.losses), rtol=1e-5
     )
-    # 'auto' above the panel cap routes misfit problems to 'normal': force
-    # the cap below mloc to exercise the policy
-    st_auto = gn_solve_distributed(dfp, max_iter=3, direct_panel_limit=8)
-    np.testing.assert_allclose(
-        np.asarray(st_auto.z), np.asarray(st_norm.z), rtol=0, atol=1e-9
+    # 'auto' above the panel cap routes isotropic misfit problems to
+    # 'woodbury' (round 5: measured faster than 'normal' at every size,
+    # equal accuracy, latent-linear state): force the cap below mloc to
+    # exercise the policy - the deflated inner solves at tight tolerance
+    # reproduce the exact step
+    st_auto = gn_solve_distributed(
+        dfp, max_iter=3, direct_panel_limit=8, cg_tol=1e-11,
+        cg_maxiter=4000,
     )
+    assert np.asarray(st_auto.cg_iters)[0] > 0  # an iterative solver ran
+    rel = float(
+        jnp.max(jnp.abs(st_auto.z - st_norm.z)) / jnp.max(jnp.abs(st_norm.z))
+    )
+    assert rel < 1e-5, rel
 
 
 def test_distributed_normal_step_elliptic_no_misfit(eight_devices):
