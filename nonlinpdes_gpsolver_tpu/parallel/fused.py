@@ -125,7 +125,7 @@ def _fused_chol_kernel(
     rsqrt(c + s * nug)`` is recomputed per attempt from the live scale
     ``s``. Returns ``(factor shard, diag inverses, d_isqrt_pad, s, ok)``.
     """
-    from ..ops.linalg import _chol_inv_rec
+    from ..ops.linalg import _cholesky_rec, _tri_inverse_rec
 
     nbl = nb // P_
     n_pad = nb * B
@@ -238,21 +238,15 @@ def _fused_chol_kernel(
             Acol = lax.fori_loop(0, nch, chunk_body, Acol)
         Acol3 = Acol.reshape(nsl, B, S)
 
-        # replicated S x S superblock diagonal: factor + inverse in ONE
-        # all-GEMM divide-and-conquer pass (round 5: the separated
-        # _cholesky_rec + _tri_inverse_rec pipeline bottoms out in
-        # row-sequential substitution leaves - measured SECONDS per S=2048
-        # factor standalone under a fetch barrier, serialized once per
-        # superblock), then one full Newton refinement step for the same
-        # whitening quality as before (the refined W_sup's diagonal blocks
-        # feed every downstream TRSM)
+        # replicated S x S superblock diagonal: factor once, refine inverse
         diag_cand = lax.slice_in_dim(Acol3, 0, nsg, axis=0)
         gg = lax.all_gather(diag_cand, axis)  # (P, nsg, B, S)
         Dsup = jnp.concatenate(
             [gg[o, sl][None] for o, sl in owners], axis=0
         ).reshape(S, S)
-        L_sup, W_sup = _chol_inv_rec(Dsup, leaf)
+        L_sup = _cholesky_rec(Dsup, leaf)
         fin = jnp.all(jnp.isfinite(L_sup))  # REPLICATED failure signal
+        W_sup = _tri_inverse_rec(L_sup, leaf)
         E = jnp.eye(S, dtype=local.dtype) - jnp.matmul(W_sup, L_sup, precision=hi)
         W_sup = W_sup + jnp.matmul(E, W_sup, precision=hi)
         # per-B-block diagonal inverses for the TRSMs: diagonal blocks of a

@@ -98,7 +98,12 @@ def test_distributed_checkpoint_roundtrip(tmp_path, eight_devices):
     assert dfp2.nugget_scales == dfp.nugget_scales
     r1 = np.asarray(dfp.whitened_residual(st.z))
     r2 = np.asarray(dfp2.whitened_residual(st2.z))
-    np.testing.assert_array_equal(r1, r2)
+    # factor shards round-trip bitwise; the reloaded factor REBUILDS its
+    # diagonal-block inverses (diag_inverses), which is only contracted
+    # identically to the fused kernel's by convention - assert agreement
+    # to tight rounding rather than bitwise so the contract survives an
+    # evaluator change on either side
+    np.testing.assert_allclose(r1, r2, rtol=1e-8, atol=1e-9)
 
     # reload onto a smaller mesh: same math, different layout (fresh host
     # copy of z - the original is committed to the 8-device mesh)
